@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Benchmark: MLUPS for the fused D3Q19 binary FLBM step.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "MLUPS", "vs_baseline": N}
+
+vs_baseline is measured MLUPS / per-chip north-star target.  The driver
+target is >=5 GLUPS aggregate on a v5e-8 (BASELINE.json), i.e. 625 MLUPS
+per chip; the reference publishes no throughput numbers (BASELINE.md).
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bflbm_tpu.config import LBMParams
+from bflbm_tpu.models import binary_fluid as model
+from bflbm_tpu.utils.timing import time_steps
+
+PER_CHIP_TARGET_MLUPS = 5000.0 / 8.0  # north-star 5 GLUPS on 8 chips
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--shape", type=int, nargs=3, default=None)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--kBT", type=float, default=1e-5)
+    ap.add_argument("--alpha0", type=float, default=0.0)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--impl", choices=["auto", "jnp", "pallas"],
+                    default="auto")
+    args = ap.parse_args()
+
+    platform = jax.devices()[0].platform
+    if args.shape is None:
+        # full benchmark config on accelerators, small smoke on CPU
+        args.shape = [256, 256, 256] if platform != "cpu" else [64, 64, 64]
+    shape = tuple(args.shape)
+    params = LBMParams(alpha0=args.alpha0, kBT=args.kBT)
+
+    state = model.init_mixture(shape, params, dtype=jnp.float32)
+
+    impl = args.impl
+    if impl == "auto":
+        try:
+            from bflbm_tpu.kernels import fused_step  # noqa: F401
+
+            impl = "pallas" if platform == "tpu" else "jnp"
+        except Exception:
+            impl = "jnp"
+
+    if impl == "pallas":
+        from bflbm_tpu.kernels.fused_step import make_nsteps
+
+        run_n = make_nsteps(params, args.steps)
+    else:
+        run_n = jax.jit(
+            lambda s: model.nsteps(s, params, args.steps), donate_argnums=0)
+
+    cells = int(np.prod(shape))
+
+    state_b = run_n(state)  # compile + warmup
+    jax.block_until_ready(state_b)
+
+    def bench_once():
+        s = model.init_mixture(shape, params, dtype=jnp.float32)
+        s = run_n(s)
+        jax.block_until_ready(s)
+        return s
+
+    res = time_steps(bench_once, cells, args.steps, warmup=0,
+                     repeats=args.repeats)
+
+    out = {
+        "metric": f"MLUPS {shape[0]}x{shape[1]}x{shape[2]} D3Q19 binary "
+                  f"FLBM (kBT={args.kBT}, {impl}, {platform})",
+        "value": round(res["mlups"], 2),
+        "unit": "MLUPS",
+        "vs_baseline": round(res["mlups"] / PER_CHIP_TARGET_MLUPS, 4),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

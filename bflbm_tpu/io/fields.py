@@ -1,0 +1,36 @@
+"""Hydro-field frame output (plotfile analog).
+
+The reference writes AMReX plotfiles consumed by yt in the notebooks
+(WriteSingleLevelPlotfile, main_run_job.cpp:35-55).  Here frames are
+compressed npz keyed by the 22-component schema names
+(:data:`bflbm_tpu.ops.hydro.HYDRO_NAMES`) so the analysis package and any
+numpy-based workflow can read them directly.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict
+
+import numpy as np
+
+from ..ops.hydro import HYDRO_NAMES
+
+
+def frame_path(out_dir: str, step: int, ndigits: int = 7) -> str:
+    return os.path.join(out_dir, f"plt{step:0{ndigits}d}.npz")
+
+
+def write_frame(out_dir: str, step: int, packed_hydro) -> str:
+    """packed_hydro: (22, X, Y, Z) array following HYDRO_NAMES order."""
+    os.makedirs(out_dir, exist_ok=True)
+    arr = np.asarray(packed_hydro)
+    path = frame_path(out_dir, step)
+    np.savez_compressed(path, step=step,
+                        **{n: arr[i] for i, n in enumerate(HYDRO_NAMES)})
+    return path
+
+
+def read_frame(path: str) -> Dict[str, np.ndarray]:
+    with np.load(path) as d:
+        return {k: d[k] for k in d.files}

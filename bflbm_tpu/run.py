@@ -1,0 +1,210 @@
+"""Run driver + CLI: the replacement for ``main_run_job.cpp``.
+
+Implements the reference pipeline (SURVEY.md §3.1) as a library function
+plus a CLI: init (mixture/stripe/droplet/checkpoint) -> scanned step loop
+with frame output, online structure-factor accumulation over the trailing
+window, NaN sentinel, metrics -> end-of-run checkpoint -> (deterministic
+runs) trailing-window time-average stored as the equilibrium-state
+artifact (main_run_job.cpp:428-439).
+
+Usage:
+    python -m bflbm_tpu.run --preset mixture-eq --out out/mixture
+    python -m bflbm_tpu.run --preset droplet-eq --nsteps 2000
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import LBMParams, RunConfig, preset, preset_names
+from .io import checkpoint as ckpt
+from .io import fields as fields_io
+from .io.metrics import MetricsWriter
+from .models import binary_fluid as model
+from .observables import structfact as sf_lib
+from .ops import hydro as hydro_ops
+from .state import SimState
+from .utils import debug
+
+
+def _chunked(total: int, chunk: int):
+    done = 0
+    while done < total:
+        n = min(chunk, total - done)
+        yield done, n
+        done += n
+
+
+def run(cfg: RunConfig, *, mesh=None,
+        on_frame: Optional[Callable] = None) -> SimState:
+    """Execute a configured run; returns the final state.
+
+    mesh: optional jax.sharding.Mesh for multi-device execution (GSPMD).
+    on_frame(step, packed_hydro) is called at plot_int cadence.
+    """
+    p = cfg.params
+    state = model.make_initial_state(cfg)
+    if mesh is not None:
+        from .parallel import mesh as mesh_lib
+
+        state = mesh_lib.shard_state(state, mesh)
+
+    os.makedirs(cfg.out_dir, exist_ok=True)
+    metrics = MetricsWriter(os.path.join(cfg.out_dir, "metrics.jsonl"))
+
+    step_hydro = jax.jit(
+        lambda s: (lambda ns, h: (ns, hydro_ops.pack(h)))(*model.step(s, p)))
+    step_plain = jax.jit(lambda s: model.step(s, p)[0], donate_argnums=0)
+    hydro_only = jax.jit(lambda s: hydro_ops.pack(model.compute_hydro(s, p)))
+
+    # structure factors over the trailing window (main_run_job.cpp:330,342-349)
+    sf_state = None
+    sf_start = cfg.step_continue + cfg.nsteps - cfg.sf_window
+    use_sf = p.noise_on and cfg.sf_window > 0
+
+    # frame 0 output (main_run_job.cpp:313-323)
+    first = int(state.step)
+    if cfg.plot_int > 0 and cfg.step_continue == 0:
+        packed = hydro_only(state)
+        fields_io.write_frame(cfg.out_dir, first, packed)
+        if on_frame:
+            on_frame(first, packed)
+
+    # equilibrium-state trailing average (deterministic runs)
+    eq_accum = None
+    eq_count = 0
+    eq_start = cfg.step_continue + cfg.nsteps - cfg.t_window
+
+    t0 = time.perf_counter()
+    last = cfg.step_continue + cfg.nsteps
+    for step_i in range(first + 1, last + 1):
+        need_hydro = (
+            (cfg.plot_int > 0 and step_i % cfg.plot_int == 0)
+            or (use_sf and step_i >= sf_start and step_i % cfg.sf_every == 0)
+            or (cfg.t_window > 0 and not p.noise_on and step_i >= eq_start
+                and cfg.plot_int > 0 and step_i % cfg.plot_int == 0)
+            or step_i == last
+        )
+        if need_hydro:
+            state, packed = step_hydro(state)
+        else:
+            state = step_plain(state)
+
+        if use_sf and step_i >= sf_start and step_i % cfg.sf_every == 0:
+            if sf_state is None:
+                sf_state = sf_lib.init_structfact(
+                    len(sf_lib.REFERENCE_PAIRS), cfg.shape)
+            sf_state = sf_lib.accumulate(sf_state, packed,
+                                         sf_lib.REFERENCE_PAIRS)
+
+        if cfg.plot_int > 0 and step_i % cfg.plot_int == 0:
+            fields_io.write_frame(cfg.out_dir, step_i, packed)
+            if on_frame:
+                on_frame(step_i, packed)
+            if not p.noise_on and cfg.t_window > 0 and step_i >= eq_start:
+                arr = np.asarray(packed)
+                eq_accum = arr if eq_accum is None else eq_accum + arr
+                eq_count += 1
+
+        if cfg.print_int > 0 and step_i % cfg.print_int == 0:
+            rho = packed[0] if need_hydro else None
+            rec = {"mlups": (step_i - first)
+                   * np.prod(cfg.shape) / (time.perf_counter() - t0) / 1e6}
+            if rho is not None:
+                if bool(debug.has_nonfinite(rho)):
+                    ckpt.save_state(
+                        os.path.join(cfg.out_dir, f"abort{step_i:07d}"),
+                        state)
+                    raise FloatingPointError(
+                        f"non-finite density at step {step_i}; "
+                        "state checkpointed")
+                st = debug.field_stats(rho)
+                rec.update({k: float(v) for k, v in st.items()})
+            metrics.log(step_i, **rec)
+
+    # end-of-run artifacts
+    ckpt.save_state(
+        os.path.join(cfg.out_dir, f"checkpoint{last:07d}"), state,
+        extra={"config": _cfg_json(cfg)})
+    if sf_state is not None:
+        s = np.asarray(sf_lib.finalize(sf_state))
+        np.savez(os.path.join(cfg.out_dir, f"structfact{last:07d}.npz"),
+                 s_k=s, pairs=np.asarray(sf_lib.REFERENCE_PAIRS),
+                 names=np.asarray(sf_lib.pair_names()))
+    if eq_accum is not None and eq_count > 0:
+        mean = eq_accum / eq_count
+        ckpt.save_equilibrium(
+            os.path.join(cfg.out_dir, "equilibrium"),
+            mean[0], mean[1], mean[5])
+    metrics.close()
+    return state
+
+
+def _cfg_json(cfg: RunConfig) -> dict:
+    d = dataclasses.asdict(cfg)
+    d["dtype"] = str(np.dtype(cfg.dtype)) if cfg.dtype else None
+    return d
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--preset", choices=preset_names(), default="mixture-eq")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--nsteps", type=int, default=None)
+    ap.add_argument("--shape", type=int, nargs=3, default=None)
+    ap.add_argument("--kBT", type=float, default=None)
+    ap.add_argument("--alpha0", type=float, default=None)
+    ap.add_argument("--seed", type=int, default=None)
+    ap.add_argument("--plot-int", type=int, default=None)
+    ap.add_argument("--print-int", type=int, default=None)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--f64", action="store_true")
+    ap.add_argument("--mesh", type=int, nargs=3, default=None,
+                    help="device mesh shape (x y z)")
+    args = ap.parse_args(argv)
+
+    cfg = preset(args.preset)
+    if args.out:
+        cfg = cfg.replace(out_dir=args.out)
+    if args.nsteps is not None:
+        cfg = cfg.replace(nsteps=args.nsteps)
+    if args.shape is not None:
+        cfg = cfg.replace(shape=tuple(args.shape))
+    if args.seed is not None:
+        cfg = cfg.replace(seed=args.seed)
+    if args.plot_int is not None:
+        cfg = cfg.replace(plot_int=args.plot_int)
+    if args.print_int is not None:
+        cfg = cfg.replace(print_int=args.print_int)
+    if args.checkpoint:
+        cfg = cfg.replace(checkpoint_path=args.checkpoint, init="checkpoint")
+    if args.kBT is not None:
+        cfg = cfg.with_params(kBT=args.kBT)
+    if args.alpha0 is not None:
+        cfg = cfg.with_params(alpha0=args.alpha0)
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
+        cfg = cfg.replace(dtype=jnp.float64)
+
+    mesh = None
+    if args.mesh is not None:
+        from .parallel import mesh as mesh_lib
+
+        mesh = mesh_lib.make_mesh(tuple(args.mesh))
+
+    state = run(cfg, mesh=mesh)
+    print(json.dumps({"final_step": int(state.step),
+                      "out_dir": cfg.out_dir}))
+
+
+if __name__ == "__main__":
+    main()

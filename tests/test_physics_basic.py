@@ -1,0 +1,102 @@
+"""Deterministic physics invariants (SURVEY.md §4 items 1, 3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bflbm_tpu.config import LBMParams
+from bflbm_tpu.models import binary_fluid as model
+from bflbm_tpu.utils import debug
+
+
+def run_n(state, params, n):
+    stepf = jax.jit(model.step, static_argnums=1)
+    for _ in range(n):
+        state, h = stepf(state, params)
+    return state, h
+
+
+def test_uniform_mixture_stationary():
+    """32^3 mixture, kBT=0, alpha0=0: uniform rho=phi=1 preserved to
+    round-off (BASELINE config 1 / main_test.cpp intent)."""
+    params = LBMParams(alpha0=0.0, kBT=0.0)
+    state = model.init_mixture((16, 16, 16), params, dtype=jnp.float64)
+    f0 = np.asarray(state.f)
+    state, h = run_n(state, params, 20)
+    np.testing.assert_allclose(np.asarray(state.f), f0, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(h.rho), 1.0, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(h.uf), 0.0, atol=1e-13)
+
+
+@pytest.mark.parametrize("kBT", [0.0, 1e-5])
+def test_mass_and_momentum_conservation(kBT):
+    """Droplet with coupling: per-species mass and total momentum are
+    conserved each step (PrintMassConservation analog, Debug.H:233-249);
+    momentum noise is anti-correlated so conservation holds with noise.
+
+    Uses rho_lo=0.1 so no cell falls below the FLT_EPSILON division guard:
+    in guarded cells the 0.5*xi/rho velocity term is dropped while the
+    moment-space noise kick is still applied — a ~sqrt(kBT*rho_guard)
+    momentum leak inherited from the reference (same guard,
+    LBM_binary.H:263-264); see test_guard_region_leak_is_bounded."""
+    params = LBMParams(alpha0=1.5, kBT=kBT, kappa=0.1, rho_lo=0.1, rho_hi=3.0)
+    state = model.init_droplet((12, 12, 12), params, dtype=jnp.float64,
+                               radius=0.25)
+    mass_f0 = float(debug.mass(state.f))
+    mass_g0 = float(debug.mass(state.g))
+    mom0 = np.asarray(debug.total_momentum(state.f, state.g))
+    state, _ = run_n(state, params, 30)
+    assert np.isclose(float(debug.mass(state.f)), mass_f0, rtol=1e-13)
+    assert np.isclose(float(debug.mass(state.g)), mass_g0, rtol=1e-13)
+    mom1 = np.asarray(debug.total_momentum(state.f, state.g))
+    scale = mass_f0  # momentum-per-mass scale for tolerance
+    np.testing.assert_allclose(mom1, mom0, atol=1e-11 * scale)
+    assert not bool(debug.has_nonfinite(state.f, state.g))
+
+
+def test_guard_region_leak_is_bounded():
+    """With rho_lo=0 the droplet core/exterior has cells below the division
+    guard; the per-step momentum leak there is O(sqrt(kBT * rho_guard)) per
+    guarded cell (reference-inherited).  Verify it stays at that tiny scale
+    rather than growing."""
+    params = LBMParams(alpha0=1.5, kBT=1e-5, kappa=0.1, rho_lo=0.0,
+                       rho_hi=3.0)
+    state = model.init_droplet((12, 12, 12), params, dtype=jnp.float64,
+                               radius=0.25)
+    mom0 = np.asarray(debug.total_momentum(state.f, state.g))
+    state, _ = run_n(state, params, 30)
+    mom1 = np.asarray(debug.total_momentum(state.f, state.g))
+    np.testing.assert_allclose(mom1, mom0, atol=1e-3)
+
+
+def test_droplet_run_stays_finite_f32():
+    """f32 stability smoke on the production dtype."""
+    params = LBMParams(alpha0=1.5, kBT=1e-5, kappa=0.1, rho_lo=0.0,
+                       rho_hi=3.0)
+    state = model.init_droplet((16, 16, 16), params, dtype=jnp.float32,
+                               radius=0.25)
+    state, h = run_n(state, params, 50)
+    assert not bool(debug.has_nonfinite(state.f, state.g, h.rho, h.uf))
+
+
+def test_stripe_profile_shape():
+    params = LBMParams(alpha0=1.5, kBT=0.0, kappa=0.1, rho_lo=0.1,
+                       rho_hi=3.0)
+    state = model.init_stripe((4, 8, 64), params, dtype=jnp.float64)
+    rho = np.asarray(state.f.sum(axis=0))
+    # high density inside the central slab, low outside
+    assert rho[0, 0, 32] > 2.5
+    assert rho[0, 0, 2] < 0.2
+    # symmetric about the slab center
+    np.testing.assert_allclose(rho[0, 0, 32 - 10], rho[0, 0, 32 + 10],
+                               rtol=1e-10)
+
+
+def test_determinism_same_seed():
+    params = LBMParams(alpha0=0.0, kBT=1e-5)
+    s1 = model.init_mixture((8, 8, 8), params, seed=3)
+    s2 = model.init_mixture((8, 8, 8), params, seed=3)
+    s1, _ = run_n(s1, params, 5)
+    s2, _ = run_n(s2, params, 5)
+    np.testing.assert_array_equal(np.asarray(s1.f), np.asarray(s2.f))
