@@ -64,13 +64,16 @@ def main():
 
     cells = int(np.prod(shape))
 
+    from bflbm_tpu.utils.timing import fetch_scalar
+
     state_b = run_n(state)  # compile + warmup
-    jax.block_until_ready(state_b)
+    fetch_scalar(state_b)
 
     def bench_once():
         s = model.init_mixture(shape, params, dtype=jnp.float32)
+        fetch_scalar(s)  # ensure init is not inside the timed region tail
         s = run_n(s)
-        jax.block_until_ready(s)
+        fetch_scalar(s)  # true completion barrier (see utils.timing)
         return s
 
     res = time_steps(bench_once, cells, args.steps, warmup=0,

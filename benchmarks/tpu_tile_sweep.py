@@ -1,0 +1,35 @@
+import os, sys, time
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import jax, jax.numpy as jnp, numpy as np
+from bflbm_tpu.config import LBMParams
+from bflbm_tpu.models import binary_fluid as model
+from bflbm_tpu.kernels import fused_step
+from bflbm_tpu.utils.timing import fetch_scalar
+
+shape=(256,256,256); cells=float(np.prod(shape))
+t0=time.time()
+
+def bench(tag, params, tile):
+    try:
+        st = model.init_mixture(shape, params, dtype=jnp.float32)
+        fetch_scalar(st)
+        run = fused_step.make_nsteps(params, 10, tile=tile)
+        s = run(st); fetch_scalar(s)
+        tt=time.time(); s = run(s); fetch_scalar(s); dt=time.time()-tt
+        print("[%6.1fs] %-28s tile=%s: %.1f ms/step -> %.0f MLUPS" % (
+            time.time()-t0, tag, tile, dt/10*1000, cells*10/dt/1e6), flush=True)
+    except Exception as e:
+        print("[%6.1fs] %-28s tile=%s: FAIL %s" % (
+            time.time()-t0, tag, tile, str(e)[:80]), flush=True)
+
+noisy = LBMParams(alpha0=0.0, kBT=1e-5)
+quiet = LBMParams(alpha0=0.0, kBT=0.0)
+coupled = LBMParams(alpha0=1.5, kBT=1e-5, rho_lo=0.1, rho_hi=3.0)
+
+bench("noisy a0=0", noisy, (8,32))
+bench("quiet a0=0", quiet, (8,32))
+bench("noisy a0=1.5 (gradients)", coupled, (8,32))
+bench("noisy a0=0", noisy, (16,32))
+bench("noisy a0=0", noisy, (8,64))
+bench("noisy a0=0", noisy, (4,32))
+bench("noisy a0=0", noisy, (32,8))

@@ -1,0 +1,484 @@
+"""Fused Pallas collide-stream kernel — the hot path of the framework.
+
+The reference's hot loop (``LBM_timestep``, LBM_binary.H:545-594) runs
+~6 halo exchanges and 4 sweeps over the populations per step.  Here one
+Pallas kernel performs, per (x, y) tile with the full z extent resident:
+
+    pull-stream (shifted VMEM reads, z-wrap via pltpu.roll)
+      -> densities on a 1-cell-extended tile
+      -> 19-point isotropic gradients (Shan-Chen force)
+      -> real-velocity reconstruction (friction + noise corrections)
+      -> per-mode thermal noise from the in-kernel hardware PRNG
+      -> MRT collide in moment space (unrolled Duenweg/Schiller basis)
+
+so each step reads f, g once (plus a halo overlap) and writes them once —
+the HBM-bandwidth speed-of-light for this model.
+
+State convention: between kernel invocations HBM holds the
+POST-COLLIDE populations.  For a standard (post-stream) ``SimState`` S
+with step = T(stream) after C(collide), n steps factor as
+
+    (T o C)^n = T o (C o T)^(n-1) o C
+
+so :func:`make_nsteps` runs one jnp collide to enter post-collide space,
+n-1 fused kernels (each = C o T), and one jnp stream to exit.
+
+Periodic halos: the tile loads a (BX+4, BY+16, Z) block via 9 fixed-size
+DMA fragments per species (3 x-ranges x 3 y-ranges) whose source offsets
+are taken modulo the domain — every fragment is contiguous in-bounds, so
+no dynamic-size DMA is needed.  Mosaic alignment rules force the y
+(sublane) fragments to 8-aligned sizes, hence the physical y pad is 8
+although only 2 halo cells are consumed; z wraps with in-register rolls.
+
+Noise: amplitudes exactly as ``ops.noise`` (LBM_binary.H:113-127);
+normals are Box-Muller over the TPU hardware PRNG seeded per
+(seed, step, tile).  Statistically identical to the jnp path's threefry
+stream but not bitwise equal (the jnp path remains the decomposition-
+invariant reference; parity tests run at kBT=0 where the paths agree to
+round-off).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import LBMParams
+from ..lattice import B, C, CS2, M, M_INV, Q, W
+from ..state import SimState
+
+# number of normal draws per cell: 3 momentum + 15 ghost(f) + 15 ghost(g)
+_N_NORMALS = 33
+_PX = 2   # x halo pad (logical halo = 2)
+_PY = 8   # y pad: sublane tiling forces 8-aligned DMA fragments
+
+
+def supports_shape(shape: Tuple[int, int, int]) -> bool:
+    """Mosaic requires DMA slices 128-aligned along the lane (z) axis and
+    8-aligned along the sublane (y) axis, so the fused kernel needs
+    Z % 128 == 0 and Y % 8 == 0; other shapes fall back to the jnp path
+    in :func:`make_nsteps` (they are small physics-validation boxes, not
+    the production perf envelope)."""
+    return shape[2] % 128 == 0 and shape[1] % 8 == 0
+
+
+def _choose_tile(shape: Tuple[int, int, int]) -> Tuple[int, int]:
+    """Pick (BX, BY) dividing (X, Y); z is always whole."""
+    X, Y, Z = shape
+
+    def best(n, target, mult=1):
+        divs = [d for d in range(1, n + 1) if n % d == 0 and d % mult == 0]
+        if not divs:
+            divs = [n]
+        return min(divs, key=lambda d: (abs(d - target), d))
+
+    bx = best(X, 8)
+    by = best(Y, 32, mult=8 if Y % 8 == 0 else 1)
+    # Budget: ext block 2*19*(BX+4)*(BY+16)*Z*4 bytes ~<= 40 MB
+    while 2 * Q * (bx + 2 * _PX) * (by + 2 * _PY) * Z * 4 > 40 * 2 ** 20 \
+            and by > 8:
+        by = best(Y, by // 2, mult=8 if Y % 8 == 0 else 1)
+        if by <= 8:
+            break
+    return bx, by
+
+
+def _mod_starts(i, bsize, pad, n):
+    """Source starts (mod n) for the 3 fixed-size fragments of an
+    extended range [i*bsize - pad, i*bsize + bsize + pad)."""
+    x0 = i * bsize
+    return ((x0 - pad) % n, x0, (x0 + bsize) % n)
+
+
+def _roll_z(arr, shift):
+    """Circular z shift; pltpu.roll requires a non-negative shift."""
+    if shift == 0:
+        return arr
+    n = arr.shape[-1]
+    return pltpu.roll(arr, shift % n, arr.ndim - 1)
+
+
+def _step_kernel(params: LBMParams, shape, bx, by, noise_on,
+                 seed_ref, fc_hbm, gc_hbm, fout_hbm, gout_hbm):
+    """Grid program: one (bx, by, Z) interior tile."""
+    X, Y, Z = shape
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    px, py = _PX, _PY
+    exb, eyb = bx + 2 * px, by + 2 * py
+    has_force = params.alpha0 != 0.0
+
+    def body(ext_f, ext_g, out_f, out_g, sems):
+        # ------------------------------------------------------ halo load
+        xs = _mod_starts(i, bx, px, X)
+        ys = _mod_starts(j, by, py, Y)
+        if by % 8 == 0 and Y % 8 == 0:
+            # all y fragment starts are 8-aligned (j*by +- 8 mod Y); the
+            # sublane tiling requires Mosaic to know it
+            ys = tuple(pl.multiple_of(y, 8) for y in ys)
+        xsizes = (px, bx, px)
+        ysizes = (py, by, py)
+        copies = []
+        for (src, dst) in ((fc_hbm, ext_f), (gc_hbm, ext_g)):
+            dx = 0
+            for a in range(3):
+                dy = 0
+                for b in range(3):
+                    cp = pltpu.make_async_copy(
+                        src.at[:, pl.ds(xs[a], xsizes[a]),
+                               pl.ds(ys[b], ysizes[b]), :],
+                        dst.at[:, pl.ds(dx, xsizes[a]),
+                               pl.ds(dy, ysizes[b]), :],
+                        sems.at[len(copies)],
+                    )
+                    cp.start()
+                    copies.append(cp)
+                    dy += ysizes[b]
+                dx += xsizes[a]
+        for cp in copies:
+            cp.wait()
+
+        dtype = ext_f.dtype
+
+        # -------------------------------------- streamed slices helpers
+        def fs(ext, idx, t):
+            """population idx of the streamed state on the window with
+            t halo cells: value at cell x is ext[idx, x - c]."""
+            cx, cy, cz = int(C[idx, 0]), int(C[idx, 1]), int(C[idx, 2])
+            x0 = px - t - cx
+            y0 = py - t - cy
+            sl = ext[idx, x0:x0 + bx + 2 * t, y0:y0 + by + 2 * t, :]
+            return _roll_z(sl, cz)
+
+        def center(arr1):
+            """ext1 window -> interior."""
+            return arr1[1:1 + bx, 1:1 + by, :]
+
+        # streamed interior populations (list of 19 arrays per species)
+        fsl = [fs(ext_f, idx, 0) for idx in range(Q)]
+        gsl = [fs(ext_g, idx, 0) for idx in range(Q)]
+
+        if has_force:
+            # densities on the 1-extended tile (for the gradient stencil)
+            def density_ext1(ext):
+                acc = fs(ext, 0, 1)
+                for idx in range(1, Q):
+                    acc = acc + fs(ext, idx, 1)
+                return acc
+
+            rho1 = density_ext1(ext_f)
+            phi1 = density_ext1(ext_g)
+            if params.use_sc_pseudo:
+                n0 = params.sc_ref_density
+                psi_rho1 = n0 * (1.0 - jnp.exp(-rho1 / n0))
+                psi_phi1 = n0 * (1.0 - jnp.exp(-phi1 / n0))
+            else:
+                psi_rho1, psi_phi1 = rho1, phi1
+            rho = center(rho1)
+            phi = center(phi1)
+            psi_rho = center(psi_rho1)
+            psi_phi = center(psi_phi1)
+
+            # 19-point isotropic gradient of a field given on ext1
+            def gradient(ps1):
+                gx = gy = gz = None
+                for idx in range(1, Q):
+                    cx, cy, cz = (int(C[idx, 0]), int(C[idx, 1]),
+                                  int(C[idx, 2]))
+                    w = float(W[idx] / CS2)
+                    nb = _roll_z(
+                        ps1[1 + cx:1 + cx + bx, 1 + cy:1 + cy + by, :],
+                        -cz)
+                    if cx:
+                        gx = (w * cx) * nb if gx is None \
+                            else gx + (w * cx) * nb
+                    if cy:
+                        gy = (w * cy) * nb if gy is None \
+                            else gy + (w * cy) * nb
+                    if cz:
+                        gz = (w * cz) * nb if gz is None \
+                            else gz + (w * cz) * nb
+                return gx, gy, gz
+
+            grad_phi = gradient(psi_phi1)
+            grad_rho = gradient(psi_rho1)
+        else:
+            rho = None  # computed from moments below
+            phi = None
+
+        # moments via unrolled basis (M is small-integer valued)
+        def mom(pops):
+            out = []
+            for k in range(Q):
+                acc = None
+                for idx in range(Q):
+                    c = float(M[k, idx])
+                    if c == 0.0:
+                        continue
+                    t = pops[idx] if c == 1.0 else (
+                        -pops[idx] if c == -1.0 else c * pops[idx])
+                    acc = t if acc is None else acc + t
+                out.append(acc)
+            return out
+
+        mf = mom(fsl)
+        mg = mom(gsl)
+        if rho is None:
+            rho = mf[0]
+            phi = mg[0]
+
+        eps = params.div_eps
+
+        def safe_inv(x):
+            ok = jnp.abs(x) > eps
+            return jnp.where(ok, 1.0 / jnp.where(ok, x, 1.0), 0.0)
+
+        inv_rho = safe_inv(rho)
+        inv_phi = safe_inv(phi)
+
+        ufb = [mf[1] * inv_rho, mf[2] * inv_rho, mf[3] * inv_rho]
+        ugb = [mg[1] * inv_phi, mg[2] * inv_phi, mg[3] * inv_phi]
+
+        if has_force:
+            a0 = params.alpha0
+            af = [-CS2 * a0 * psi_rho * g * inv_rho for g in grad_phi]
+            ag = [-CS2 * a0 * psi_phi * g * inv_phi for g in grad_rho]
+
+        # ------------------------------------------------------- noise
+        lam_f = params.lam_f
+        lam_g = params.lam_g
+        tile_shape = (bx, by, Z)
+        if noise_on:
+            pltpu.prng_seed(seed_ref[0], i * pl.num_programs(1) + j)
+            kBT = params.kBT
+            pref_f = 2.0 * (lam_f - 0.5 * lam_f * lam_f) * kBT
+            pref_g = 2.0 * (lam_g - 0.5 * lam_g * lam_g) * kBT
+            rhot_ = rho + phi
+            amp_mom = jnp.sqrt(
+                pref_f * jnp.abs(rho * phi * safe_inv(rhot_)))
+            sq_rho = jnp.sqrt(jnp.abs(rho))
+            sq_phi = jnp.sqrt(jnp.abs(phi))
+
+            two_pi = 6.283185307179586
+            npair = (_N_NORMALS + 1) // 2  # 17
+
+            # one batched draw: (2*npair, bx, by, Z) uniforms
+            bits = pltpu.prng_random_bits((2 * npair,) + tile_shape)
+            i24 = pltpu.bitcast(
+                pltpu.bitcast(bits, jnp.uint32) >> 8, jnp.int32)
+            u = i24.astype(dtype) * (1.0 / (1 << 24))
+            r = jnp.sqrt(-2.0 * jnp.log(u[:npair] + (0.5 / (1 << 24))))
+            theta = two_pi * u[npair:]
+            n1 = r * jnp.cos(theta)
+            n2 = r * jnp.sin(theta)
+
+            def normal(a):
+                return n1[a // 2] if a % 2 == 0 else n2[a // 2]
+
+            xi_f = [jnp.zeros(tile_shape, dtype)]
+            xi_g = [jnp.zeros(tile_shape, dtype)]
+            for a in range(1, 4):
+                m_ = amp_mom * normal(a - 1)
+                xi_f.append(m_)
+                xi_g.append(-m_)
+            for a in range(4, Q):
+                cf = float(np.sqrt(pref_f / CS2 * B[a]))
+                cg = float(np.sqrt(pref_g / CS2 * B[a]))
+                xi_f.append(cf * sq_rho * normal(3 + (a - 4)))
+                xi_g.append(cg * sq_phi * normal(18 + (a - 4)))
+        else:
+            xi_f = None
+            xi_g = None
+
+        # ------------------------- real velocities (LBM_binary.H:266-272)
+        rhot = rho + phi
+        inv_rhot = safe_inv(rhot)
+        wf = phi * inv_rhot
+        wg = rho * inv_rhot
+
+        uf = []
+        ug = []
+        for d in range(3):
+            dud = ufb[d] - ugb[d]
+            if has_force:
+                dud = dud + 0.5 * (af[d] - ag[d])
+            uf_d = ufb[d] - 0.5 * lam_f * wf * dud
+            ug_d = ugb[d] + 0.5 * lam_g * wg * dud
+            if has_force:
+                uf_d = uf_d + 0.5 * af[d]
+                ug_d = ug_d + 0.5 * ag[d]
+            if noise_on:
+                uf_d = uf_d + 0.5 * xi_f[1 + d] * inv_rho
+                ug_d = ug_d + 0.5 * xi_g[1 + d] * inv_phi
+            uf.append(uf_d)
+            ug.append(ug_d)
+
+        vb = [(rho * uf[d] + phi * ug[d]) * inv_rhot for d in range(3)]
+
+        # ------------------------------------- equilibrium + force moments
+        def meq(n, u):
+            u2 = u[0] * u[0] + u[1] * u[1] + u[2] * u[2]
+            return [
+                n,
+                n * u[0], n * u[1], n * u[2],
+                n * u2,
+                n * (3.0 * u[0] * u[0] - u2),
+                n * (u[1] * u[1] - u[2] * u[2]),
+                n * u[0] * u[1], n * u[1] * u[2], n * u[0] * u[2],
+            ]
+
+        def phim(n, u, a, tau):
+            s = 1.0 / (1.0 + 1.0 / (2.0 * tau))
+            au = a[0] * u[0] + a[1] * u[1] + a[2] * u[2]
+            return [
+                None,
+                s * n * a[0], s * n * a[1], s * n * a[2],
+                s * 2.0 * n * au,
+                s * n * (6.0 * a[0] * u[0] - 2.0 * au),
+                s * 2.0 * n * (a[1] * u[1] - a[2] * u[2]),
+                s * n * (a[0] * u[1] + a[1] * u[0]),
+                s * n * (a[1] * u[2] + a[2] * u[1]),
+                s * n * (a[0] * u[2] + a[2] * u[0]),
+            ]
+
+        mf_eq = meq(rho, vb)
+        mg_eq = meq(phi, vb)
+        if has_force:
+            ph_f = phim(rho, uf, af, params.tau_f)
+            ph_g = phim(phi, ug, ag, params.tau_g)
+
+        inv_tf = 1.0 / (params.tau_f + 0.5)
+        inv_tg = 1.0 / (params.tau_g + 0.5)
+        for k in range(Q):
+            rf = (inv_tf * (mf_eq[k] - mf[k]) if k < 10
+                  else -inv_tf * mf[k])
+            rg = (inv_tg * (mg_eq[k] - mg[k]) if k < 10
+                  else -inv_tg * mg[k])
+            if has_force and 1 <= k < 10:
+                rf = rf + ph_f[k]
+                rg = rg + ph_g[k]
+            mf[k] = mf[k] + rf
+            mg[k] = mg[k] + rg
+            if noise_on:
+                mf[k] = mf[k] + xi_f[k]
+                mg[k] = mg[k] + xi_g[k]
+
+        # ------------------------------------------------- back transform
+        def pops_from(mom_list, out_ref):
+            for idx in range(Q):
+                acc = None
+                for k in range(Q):
+                    c = float(M_INV[idx, k])
+                    if c == 0.0:
+                        continue
+                    t = c * mom_list[k]
+                    acc = t if acc is None else acc + t
+                out_ref[idx] = acc
+
+        pops_from(mf, out_f)
+        pops_from(mg, out_g)
+
+        # ------------------------------------------------- write back
+        ocs = []
+        for (src, dst) in ((out_f, fout_hbm), (out_g, gout_hbm)):
+            cp = pltpu.make_async_copy(
+                src,
+                dst.at[:, pl.ds(i * bx, bx), pl.ds(j * by, by), :],
+                sems.at[len(ocs)],
+            )
+            cp.start()
+            ocs.append(cp)
+        for cp in ocs:
+            cp.wait()
+
+    pl.run_scoped(
+        body,
+        ext_f=pltpu.VMEM((Q, exb, eyb, Z), fout_hbm.dtype),
+        ext_g=pltpu.VMEM((Q, exb, eyb, Z), fout_hbm.dtype),
+        out_f=pltpu.VMEM((Q, bx, by, Z), fout_hbm.dtype),
+        out_g=pltpu.VMEM((Q, bx, by, Z), fout_hbm.dtype),
+        sems=pltpu.SemaphoreType.DMA((18,)),
+    )
+
+
+def _fused_step_call(params: LBMParams, shape, tile, noise_on,
+                     seed, fc, gc):
+    X, Y, Z = shape
+    bx, by = tile
+    assert X % bx == 0 and Y % by == 0, (shape, tile)
+    grid = (X // bx, Y // by)
+    kern = functools.partial(_step_kernel, params, shape, bx, by, noise_on)
+    out_shape = [jax.ShapeDtypeStruct(fc.shape, fc.dtype)] * 2
+    fo, go = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # seed
+            pl.BlockSpec(memory_space=pl.ANY),       # fc (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),       # gc (HBM)
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+    )(seed, fc, gc)
+    return fo, go
+
+
+def fused_stream_collide(state: SimState, params: LBMParams,
+                         tile=None) -> SimState:
+    """One K = collide o stream update in post-collide state space."""
+    shape = tuple(state.f.shape[1:])
+    tile = tile or _choose_tile(shape)
+    key, sub = jax.random.split(state.key)
+    seed = jax.random.randint(sub, (1,), minval=jnp.iinfo(jnp.int32).min,
+                              maxval=jnp.iinfo(jnp.int32).max,
+                              dtype=jnp.int32)
+    fo, go = _fused_step_call(params, shape, tile, params.noise_on,
+                              seed, state.f, state.g)
+    return SimState(f=fo, g=go, key=key, step=state.step + 1)
+
+
+def make_nsteps(params: LBMParams, n: int, tile=None, force: bool = False):
+    """n standard steps via the fused kernel.
+
+    Returns jitted fn: SimState (post-stream) -> SimState (post-stream).
+    Shapes the kernel cannot tile (see :func:`supports_shape`) and the
+    alpha1 != 0 model fall back to the jnp scan unless ``force`` (used by
+    interpret-mode tests).
+    """
+    from ..models import binary_fluid as model
+    from ..ops import collide as collide_ops
+    from ..ops import stream as stream_ops
+
+    if n < 1:
+        raise ValueError("n >= 1")
+
+    def run_jnp(state: SimState) -> SimState:
+        return model.nsteps(state, params, n)
+
+    def run(state: SimState) -> SimState:
+        if not force and (params.alpha1 != 0.0
+                          or not supports_shape(tuple(state.f.shape[1:]))):
+            return run_jnp(state)
+        # enter post-collide space: one jnp prelude+collide
+        h, xi_f, xi_g, key = model.prelude(state, params)
+        f1, g1 = collide_ops.collide(state.f, state.g, h, xi_f, xi_g, params)
+        s = SimState(f=f1, g=g1, key=key, step=state.step + 1)
+
+        def body(s, _):
+            return fused_stream_collide(s, params, tile), None
+
+        s, _ = jax.lax.scan(body, s, None, length=n - 1)
+        # exit: stream the last post-collide state
+        return SimState(f=stream_ops.stream(s.f), g=stream_ops.stream(s.g),
+                        key=s.key, step=s.step)
+
+    return jax.jit(run, donate_argnums=0)

@@ -1,1 +1,1 @@
-from . import structfact, stats  # noqa: F401
+from . import droplet, free_energy, interface, msd, stats, structfact  # noqa: F401

@@ -122,9 +122,19 @@ def hydrovars(f: jnp.ndarray, g: jnp.ndarray,
     """Full real-variable reconstruction (LBM_binary.H:196-295)."""
     if hbar is None:
         hbar = hydrovars_bar(f, g, params)
+    af, ag = accelerations(hbar.rho, hbar.phi, params)
+    return hydrovars_with_acc(f, g, hbar, af, ag, xi_f, xi_g, params)
+
+
+def hydrovars_with_acc(f: jnp.ndarray, g: jnp.ndarray, hbar: HydroBar,
+                       af: jnp.ndarray, ag: jnp.ndarray,
+                       xi_f: jnp.ndarray, xi_g: jnp.ndarray,
+                       params: LBMParams) -> Hydro:
+    """Velocity-correction part of hydrovars, given precomputed
+    accelerations (used by the blocked/halo path where the stencil runs
+    on extended windows)."""
     rho, phi, uf_bar, ug_bar = hbar
     eps = params.div_eps
-    af, ag = accelerations(rho, phi, params)
 
     nf_vel = _safe_div(xi_f[1:4], rho[None], eps)
     ng_vel = _safe_div(xi_g[1:4], phi[None], eps)

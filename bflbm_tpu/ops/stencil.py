@@ -59,7 +59,7 @@ def gradient(field: jnp.ndarray, use_sc: bool = False,
     out = [jnp.zeros_like(field) for _ in range(3)]
     for i, j in _PAIRS:
         diff = shift(psi, C[i], axes) - shift(psi, C[j], axes)
-        coeff = W[i] / CS2
+        coeff = float(W[i] / CS2)
         for d in range(3):
             if C[i, d] != 0:
                 out[d] = out[d] + (coeff * float(C[i, d])) * diff
@@ -76,8 +76,8 @@ def laplacian(field: jnp.ndarray, use_sc: bool = False,
     acc = jnp.zeros_like(field)
     wsum = 0.0
     for i, j in _PAIRS:
-        acc = acc + W[i] * (shift(psi, C[i], axes) + shift(psi, C[j], axes))
-        wsum += 2.0 * W[i]
+        acc = acc + float(W[i]) * (shift(psi, C[i], axes) + shift(psi, C[j], axes))
+        wsum += float(2.0 * W[i])
     return (2.0 / CS2) * (acc - wsum * psi)
 
 

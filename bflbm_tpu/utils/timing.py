@@ -9,9 +9,24 @@ from typing import Callable, Tuple
 import jax
 
 
+def fetch_scalar(tree) -> float:
+    """Force completion by fetching one element to host.
+
+    On this environment's tunneled TPU backend ``jax.block_until_ready``
+    can return before execution finishes; a device-to-host copy of any
+    output element is the only reliable completion barrier.
+    """
+    import numpy as np
+
+    leaf = jax.tree_util.tree_leaves(tree)[0]
+    idx = tuple(0 for _ in leaf.shape)
+    return float(np.asarray(leaf[idx] if leaf.ndim else leaf))
+
+
 def time_steps(run: Callable[[], object], cells: int, steps: int,
                warmup: int = 1, repeats: int = 3) -> dict:
-    """Benchmark a compiled step loop.  run() must block until ready."""
+    """Benchmark a compiled step loop.  run() must end with a host fetch
+    (see fetch_scalar) — block_until_ready alone is not reliable here."""
     for _ in range(warmup):
         run()
     best = float("inf")

@@ -1,0 +1,57 @@
+"""Fused Pallas kernel vs the jnp reference path.
+
+At kBT=0 the two paths compute the identical deterministic update, so
+trajectories must agree to f32 round-off.  With noise the paths use
+different (statistically identical) RNG streams, so only statistics are
+compared (see test_noise for the jnp amplitudes; kernel noise statistics
+are validated on hardware in benchmarks/).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from bflbm_tpu.config import LBMParams
+from bflbm_tpu.kernels import fused_step
+from bflbm_tpu.models import binary_fluid as model
+
+
+@pytest.mark.parametrize("alpha0,shape", [
+    (0.0, (8, 8, 8)),
+    (1.5, (8, 8, 8)),
+    (1.5, (4, 16, 8)),
+])
+def test_fused_matches_jnp_deterministic(alpha0, shape):
+    params = LBMParams(alpha0=alpha0, kBT=0.0, kappa=0.1,
+                       rho_lo=0.1, rho_hi=3.0)
+    state = model.init_droplet(shape, params, dtype=jnp.float32, radius=0.3)
+
+    n = 4
+    ref = state
+    for _ in range(n):
+        ref, _ = model.step(ref, params)
+
+    with pltpu.force_tpu_interpret_mode():
+        run = fused_step.make_nsteps(params, n, force=True)
+        got = run(state)
+
+    assert int(got.step) == n
+    np.testing.assert_allclose(np.asarray(got.f), np.asarray(ref.f),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got.g), np.asarray(ref.g),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(got.key), np.asarray(ref.key))
+
+
+def test_fused_single_step_is_jnp_step():
+    """n=1 degenerates to exactly the jnp path (no kernel involved)."""
+    params = LBMParams(alpha0=0.0, kBT=1e-5)
+    state = model.init_mixture((8, 8, 8), params, dtype=jnp.float32)
+    ref, _ = model.step(state, params)
+    from bflbm_tpu.ops import stream as stream_ops  # noqa: F401
+
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_step.make_nsteps(params, 1, force=True)(state)
+    np.testing.assert_allclose(np.asarray(got.f), np.asarray(ref.f), atol=0)
