@@ -1,0 +1,225 @@
+"""Offline analysis CLI — the replacement for the reference's notebook
+suite (Mixture / Flat_Interface / Surface_Tension / Droplet_Fluctuation /
+xdg_msd_calc; SURVEY.md §4.6).  Operates on run output directories
+(plt*.npz frames + structfact*.npz) and prints JSON results.
+
+    python -m bflbm_tpu.analysis sk        --dir out/fluct [--kBT 1e-5]
+    python -m bflbm_tpu.analysis interface --dir out/iface --kBT 1e-5
+    python -m bflbm_tpu.analysis droplet   --dir out/drop  --alpha0 1.5
+    python -m bflbm_tpu.analysis msd       --dir out/drop  --kBT 1e-5
+    python -m bflbm_tpu.analysis laplace   --dirs out/r20 out/r25 ... --alpha0 1.5
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+from typing import Dict, List
+
+import numpy as np
+
+from .io import fields as fields_io
+from .observables import droplet as drop_obs
+from .observables import free_energy, interface as iface_obs, msd as msd_obs
+from .observables import structfact as sf_lib
+
+CS2 = 1.0 / 3.0
+
+
+def _frames(out_dir: str) -> List[str]:
+    fr = sorted(glob.glob(os.path.join(out_dir, "plt*.npz")))
+    if not fr:
+        raise FileNotFoundError(f"no plt*.npz frames in {out_dir}")
+    return fr
+
+
+def _load_sf(out_dir: str):
+    sfs = sorted(glob.glob(os.path.join(out_dir, "structfact*.npz")))
+    if not sfs:
+        return None
+    with np.load(sfs[-1], allow_pickle=True) as d:
+        return {"s_k": d["s_k"], "names": [str(n) for n in d["names"]]}
+
+
+def cmd_sk(args) -> Dict:
+    """Equilibrium structure factors: flatness of S_rho/(kBT/cs2) etc.
+    (Mixture.ipynb cell 2 normalizations)."""
+    sf = _load_sf(args.dir)
+    out = {}
+    if sf is not None:
+        names = sf["names"]
+        sk = np.fft.ifftshift(sf["s_k"], axes=(-3, -2, -1))
+        norm = {"rho*rho": args.kBT / CS2, "phi*phi": args.kBT / CS2,
+                "ufx*ufx": args.kBT, "ufy*ufy": args.kBT,
+                "ufz*ufz": args.kBT,
+                "ubx*ubx": args.kBT / 2.0, "uby*uby": args.kBT / 2.0,
+                "ubz*ubz": args.kBT / 2.0}
+        for p, name in enumerate(names):
+            if name not in norm:
+                continue
+            k, s = sf_lib.radial_average(np.real(sk[p]))
+            ratio = s / norm[name]
+            out[name] = {
+                "mean_ratio": float(np.mean(ratio)),
+                "std_ratio": float(np.std(ratio)),
+            }
+    else:
+        # recompute from frames (Debug.ipynb recipe)
+        frames = _frames(args.dir)[args.skip:]
+        acc = None
+        for f in frames:
+            d = fields_io.read_frame(f)
+            p = np.abs(np.fft.fftn(d["rho"] - d["rho"].mean())) ** 2 \
+                / d["rho"].size
+            acc = p if acc is None else acc + p
+        k, s = sf_lib.radial_average(acc / len(frames))
+        out["rho*rho"] = {
+            "mean_ratio": float(np.mean(s / (args.kBT / CS2))),
+            "std_ratio": float(np.std(s / (args.kBT / CS2))),
+        }
+    return out
+
+
+def cmd_interface(args) -> Dict:
+    """Capillary-wave spectrum gamma (Flat_Interface.ipynb cells 4-10)."""
+    frames = _frames(args.dir)[args.skip:]
+    first = fields_io.read_frame(frames[0])
+    rho_lo = float(first["rho"].min())
+    rho_hi = float(first["rho"].max())
+    level = 0.5 * (rho_lo + rho_hi)
+    heights = []
+    for f in frames:
+        d = fields_io.read_frame(f)
+        heights.append(iface_obs.interface_height(d["rho"], level))
+    k, s = iface_obs.capillary_spectrum(np.asarray(heights), axis=1)
+    gamma = iface_obs.fit_capillary_gamma(k, s, args.kBT, kmax=args.kmax)
+    prof = iface_obs.mean_profile(fields_io.read_frame(frames[-1])["rho"])
+    z0, w = iface_obs.profile_interface_width(prof, rho_lo, rho_hi)
+    return {"gamma_capillary": gamma, "n_frames": len(frames),
+            "interface_z0": z0, "interface_width": w,
+            "rho_lo": rho_lo, "rho_hi": rho_hi}
+
+
+def cmd_droplet(args) -> Dict:
+    """Droplet radius fit + gyration + shape-fluctuation gamma
+    (Surface_Tension / Droplet_Fluctuation notebooks)."""
+    frames = _frames(args.dir)[args.skip:]
+    fits = []
+    axes = []
+    coms = []
+    for f in frames:
+        d = fields_io.read_frame(f)
+        rho = d["rho"]
+        excess = rho - rho[0, 0, 0]
+        com = drop_obs.center_of_mass(excess)
+        coms.append(com)
+        fit = drop_obs.fit_droplet(rho, com)
+        fits.append(fit)
+        r_mass = drop_obs.radius_from_mass(rho)
+        axes.append(drop_obs.principal_radii(excess, com, r_mass))
+    last = fields_io.read_frame(frames[-1])
+    dp = drop_obs.laplace_delta_p(last["rho"], last["phi"], args.alpha0,
+                                  coms[-1])
+    out = {
+        "R_mean": float(np.mean([f["R"] for f in fits])),
+        "R_std": float(np.std([f["R"] for f in fits])),
+        "W_mean": float(np.mean([f["W"] for f in fits])),
+        "delta_p_last": dp,
+        "n_frames": len(frames),
+    }
+    if args.kBT > 0 and len(axes) > 4:
+        out.update(drop_obs.shape_fluctuation_gamma(np.asarray(axes),
+                                                    args.kBT))
+    return out
+
+
+def cmd_laplace(args) -> Dict:
+    """Laplace-law gamma from a sweep of droplet runs at several radii
+    (Surface_Tension.ipynb cells 10-28)."""
+    radii = []
+    dps = []
+    per_run = []
+    for d in args.dirs:
+        frames = _frames(d)
+        last = fields_io.read_frame(frames[-1])
+        rho, phi = last["rho"], last["phi"]
+        excess = rho - rho[0, 0, 0]
+        com = drop_obs.center_of_mass(excess)
+        fit = drop_obs.fit_droplet(rho, com)
+        dp = drop_obs.laplace_delta_p(rho, phi, args.alpha0, com)
+        radii.append(fit["R"])
+        dps.append(dp)
+        per_run.append({"dir": d, "R": fit["R"], "delta_p": dp})
+    gamma, icpt = drop_obs.surface_tension_laplace(radii, dps)
+    return {"gamma_laplace": gamma, "intercept": icpt, "runs": per_run}
+
+
+def cmd_msd(args) -> Dict:
+    """Droplet COM MSD + Stokes-Einstein comparison (xdg_msd_calc)."""
+    frames = _frames(args.dir)[args.skip:]
+    steps = []
+    coms = []
+    r_means = []
+    for f in frames:
+        d = fields_io.read_frame(f)
+        rho = d["rho"]
+        excess = rho - rho[0, 0, 0]
+        coms.append(drop_obs.center_of_mass(excess))
+        steps.append(int(d["step"]))
+        r_means.append(drop_obs.radius_from_mass(rho))
+    shape = fields_io.read_frame(frames[0])["rho"].shape
+    traj = msd_obs.unwrap_periodic(np.asarray(coms), shape)
+    ts, m = msd_obs.msd(np.asarray(steps, float), traj,
+                        tmax=max(4, len(frames) // 4))
+    d_meas = msd_obs.diffusion_coefficient(ts, m, dim=3)
+    radius = float(np.mean(r_means))
+    rho0 = 1.0
+    eta = rho0 * CS2 * (args.tau + 0.5 - 0.5)  # eta = rho cs2 (tau_bar-1/2)
+    d_se = msd_obs.stokes_einstein(radius, float(min(shape)), eta, args.kBT)
+    return {"D_measured": d_meas, "D_stokes_einstein": d_se,
+            "ratio": d_meas / d_se if d_se else None,
+            "R_mean": radius, "n_frames": len(frames)}
+
+
+def cmd_theory(args) -> Dict:
+    """Free-energy theory numbers (surface_tension_predict.ipynb)."""
+    lo, hi = free_energy.binodal_densities(args.rho_t, args.alpha0)
+    gamma = free_energy.surface_tension_theory(args.rho_t, args.alpha0)
+    return {"rho_lo_binodal": lo, "rho_hi_binodal": hi,
+            "gamma_quadrature": gamma}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def common(p):
+        p.add_argument("--dir", required=False)
+        p.add_argument("--kBT", type=float, default=1e-5)
+        p.add_argument("--skip", type=int, default=0,
+                       help="skip first N frames")
+
+    p = sub.add_parser("sk"); common(p)
+    p = sub.add_parser("interface"); common(p)
+    p.add_argument("--kmax", type=float, default=1.0)
+    p = sub.add_parser("droplet"); common(p)
+    p.add_argument("--alpha0", type=float, default=1.5)
+    p = sub.add_parser("laplace")
+    p.add_argument("--dirs", nargs="+", required=True)
+    p.add_argument("--alpha0", type=float, default=1.5)
+    p = sub.add_parser("msd"); common(p)
+    p.add_argument("--tau", type=float, default=0.5)
+    p = sub.add_parser("theory")
+    p.add_argument("--alpha0", type=float, default=1.5)
+    p.add_argument("--rho-t", dest="rho_t", type=float, default=3.1)
+
+    args = ap.parse_args(argv)
+    fn = {"sk": cmd_sk, "interface": cmd_interface, "droplet": cmd_droplet,
+          "laplace": cmd_laplace, "msd": cmd_msd, "theory": cmd_theory}
+    print(json.dumps(fn[args.cmd](args), indent=2, default=float))
+
+
+if __name__ == "__main__":
+    main()

@@ -98,6 +98,9 @@ class RunConfig:
     out_dir: str = "out"
     dtype: Any = jnp.float32
     track_com: bool = False    # per-step COM tracking (USE_REF_STATE analog)
+    use_ref_state: bool = False  # noise amplitudes from stored eq state
+    ref_state_path: Optional[str] = None  # equilibrium artifact (npz)
+    out_noise_int: int = 0     # dump noise fields every N steps (0 = off)
     init: str = "mixture"      # mixture | stripe | droplet | checkpoint
     init_radius: float = 0.2   # droplet radius as fraction of box
     init_frac: float = 0.5     # stripe fraction of box (main_run_job.cpp:33)

@@ -34,3 +34,13 @@ def write_frame(out_dir: str, step: int, packed_hydro) -> str:
 def read_frame(path: str) -> Dict[str, np.ndarray]:
     with np.load(path) as d:
         return {k: d[k] for k in d.files}
+
+
+def write_noise_frame(out_dir: str, step: int, xi_f, xi_g) -> str:
+    """Dump the 19-component per-mode noise fields (WriteOutNoise analog,
+    Debug.H:381-409; consumed by the NoiseCovariance analysis)."""
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"noise{step:07d}.npz")
+    np.savez_compressed(path, step=step, xi_f=np.asarray(xi_f),
+                        xi_g=np.asarray(xi_g))
+    return path

@@ -69,7 +69,11 @@ def supports_shape(shape: Tuple[int, int, int]) -> bool:
 
 
 def _choose_tile(shape: Tuple[int, int, int]) -> Tuple[int, int]:
-    """Pick (BX, BY) dividing (X, Y); z is always whole."""
+    """Pick (BX, BY) dividing (X, Y); z is always whole.
+
+    The y-sweep load path (see _step_kernel) wants BY == _PY == 8 so the
+    sliding fresh load is a single aligned fragment; BX is then sized to
+    amortize the x halo within the VMEM budget."""
     X, Y, Z = shape
 
     def best(n, target, mult=1):
@@ -78,13 +82,16 @@ def _choose_tile(shape: Tuple[int, int, int]) -> Tuple[int, int]:
             divs = [n]
         return min(divs, key=lambda d: (abs(d - target), d))
 
+    # hardware matrix (benchmarks/tpu_tile_sweep2.py): (8,16) sweep is
+    # the best measured config at 256^3 on v5e
+    by = 2 * _PY if Y % (2 * _PY) == 0 and Y // (2 * _PY) >= 2 \
+        else (_PY if Y % _PY == 0 and Y // _PY >= 2 else best(Y, 32))
     bx = best(X, 8)
-    by = best(Y, 32, mult=8 if Y % 8 == 0 else 1)
-    # Budget: ext block 2*19*(BX+4)*(BY+16)*Z*4 bytes ~<= 40 MB
+    # Budget: ext block 2*19*(BX+4)*(BY+16)*Z*4 bytes (x2 slots) <= 40 MB
     while 2 * Q * (bx + 2 * _PX) * (by + 2 * _PY) * Z * 4 > 40 * 2 ** 20 \
-            and by > 8:
-        by = best(Y, by // 2, mult=8 if Y % 8 == 0 else 1)
-        if by <= 8:
+            and bx > 1:
+        bx = best(X, bx // 2)
+        if bx <= 1:
             break
     return bx, by
 
@@ -104,47 +111,225 @@ def _roll_z(arr, shift):
     return pltpu.roll(arr, shift % n, arr.ndim - 1)
 
 
-def _step_kernel(params: LBMParams, shape, bx, by, noise_on,
+def _step_kernel(params: LBMParams, shape, bx, by, noise_on, mode,
                  seed_ref, fc_hbm, gc_hbm, fout_hbm, gout_hbm):
-    """Grid program: one (bx, by, Z) interior tile."""
+    """Grid program: one (bx, by, Z) interior tile.
+
+    Cross-grid-step double buffering: while tile t computes, tile t+1's
+    halo fragments stream into the alternate ext buffers and tile t-2's
+    result DMA drains from the alternate out buffers — input, compute,
+    and output phases overlap (the unpipelined version ran at ~230 GB/s
+    effective HBM bandwidth; this hides most of the DMA time).
+    """
     X, Y, Z = shape
+    gx, gy = X // bx, Y // by
+    n_tiles = gx * gy
     i = pl.program_id(0)
     j = pl.program_id(1)
+    t = i * gy + j
     px, py = _PX, _PY
     exb, eyb = bx + 2 * px, by + 2 * py
     has_force = params.alpha0 != 0.0
 
-    def body(ext_f, ext_g, out_f, out_g, sems):
-        # ------------------------------------------------------ halo load
-        xs = _mod_starts(i, bx, px, X)
-        ys = _mod_starts(j, by, py, Y)
-        if by % 8 == 0 and Y % 8 == 0:
-            # all y fragment starts are 8-aligned (j*by +- 8 mod Y); the
-            # sublane tiling requires Mosaic to know it
-            ys = tuple(pl.multiple_of(y, 8) for y in ys)
-        xsizes = (px, bx, px)
-        ysizes = (py, by, py)
-        copies = []
-        for (src, dst) in ((fc_hbm, ext_f), (gc_hbm, ext_g)):
-            dx = 0
-            for a in range(3):
-                dy = 0
-                for b in range(3):
-                    cp = pltpu.make_async_copy(
-                        src.at[:, pl.ds(xs[a], xsizes[a]),
-                               pl.ds(ys[b], ysizes[b]), :],
-                        dst.at[:, pl.ds(dx, xsizes[a]),
-                               pl.ds(dy, ysizes[b]), :],
-                        sems.at[len(copies)],
-                    )
-                    cp.start()
-                    copies.append(cp)
-                    dy += ysizes[b]
-                dx += xsizes[a]
-        for cp in copies:
-            cp.wait()
+    xsizes = (px, bx, px)
+    ysizes = (py, by, py)
 
-        dtype = ext_f.dtype
+    # sweep mode: BY a multiple of _PY makes the sliding fresh load an
+    # aligned y-slab (two fragments at the row wrap when BY > _PY); the
+    # 2*_PY overlap columns are carried between consecutive y-tiles as a
+    # VMEM copy, removing the y-halo re-reads entirely.
+    sweep = (by % py == 0 and gy >= 2 and mode != "tiles")
+
+    def body(ext_f2, ext_g2, out_f2, out_g2, sems_in, sems_out):
+        def in_copies_full(tt, slot):
+            """All 9 halo fragments for tile tt (row starts / tiles
+            mode)."""
+            ii = tt // gy
+            jj = tt - ii * gy
+            xs = _mod_starts(ii, bx, px, X)
+            ys = _mod_starts(jj, by, py, Y)
+            ys = tuple(pl.multiple_of(y, 8) for y in ys)
+            cps = []
+            for si, src in enumerate((fc_hbm, gc_hbm)):
+                dst = ext_f2 if si == 0 else ext_g2
+                dx = 0
+                for a in range(3):
+                    dy = 0
+                    for b in range(3):
+                        cps.append(pltpu.make_async_copy(
+                            src.at[:, pl.ds(xs[a], xsizes[a]),
+                                   pl.ds(ys[b], ysizes[b]), :],
+                            dst.at[slot, :, pl.ds(dx, xsizes[a]),
+                                   pl.ds(dy, ysizes[b]), :],
+                            sems_in.at[slot, len(cps)],
+                        ))
+                        dy += ysizes[b]
+                    dx += xsizes[a]
+            return cps
+
+        def in_copies_fresh(tt, slot, frags):
+            """Sliding-mode load: only the fresh trailing y-slab (width
+            BY) for the 3 x fragments; the leading 2*_PY columns are
+            VMEM-copied from the previous tile.
+
+            fresh slab = ext columns [2*PY, 2*PY+BY) = absolute y range
+            [y1 + PY, y1 + PY + BY), y1 = jj*BY.  For BY > PY the last
+            tile of a row wraps: frags selects the unwrapped (1) or
+            wrapped (2) fragment decomposition (both static shapes).
+            """
+            ii = tt // gy
+            jj = tt - ii * gy
+            xs = _mod_starts(ii, bx, px, X)
+            ys0 = pl.multiple_of(
+                jax.lax.rem((jj * by + py), jnp.int32(Y)), 8)
+            if frags == 1:
+                yparts = ((ys0, 2 * py, by),)
+            else:
+                # wrap at the row end: [Y-PY, Y) then [0, BY-PY)
+                yparts = ((pl.multiple_of(Y - py, 8), 2 * py, py),
+                          (0, 2 * py + py, by - py))
+            cps = []
+            for si, src in enumerate((fc_hbm, gc_hbm)):
+                dst = ext_f2 if si == 0 else ext_g2
+                dx = 0
+                for a in range(3):
+                    for (ys, dy, ny) in yparts:
+                        cps.append(pltpu.make_async_copy(
+                            src.at[:, pl.ds(xs[a], xsizes[a]),
+                                   pl.ds(ys, ny), :],
+                            dst.at[slot, :, pl.ds(dx, xsizes[a]),
+                                   pl.ds(dy, ny), :],
+                            sems_in.at[slot, len(cps)],
+                        ))
+                    dx += xsizes[a]
+            return cps
+
+        def carry_overlap(src_slot, dst_slot):
+            """ext columns [BY, BY+2*PY) of the current tile = columns
+            [0, 2*PY) of the next tile (VMEM copy)."""
+            ext_f2[dst_slot, :, :, 0:2 * py, :] = \
+                ext_f2[src_slot, :, :, by:by + 2 * py, :]
+            ext_g2[dst_slot, :, :, 0:2 * py, :] = \
+                ext_g2[src_slot, :, :, by:by + 2 * py, :]
+
+        def out_copies(tt, slot):
+            ii = tt // gy
+            jj = tt - ii * gy
+            cps = []
+            for si, dst in enumerate((fout_hbm, gout_hbm)):
+                src = out_f2 if si == 0 else out_g2
+                cps.append(pltpu.make_async_copy(
+                    src.at[slot],
+                    dst.at[:, pl.ds(ii * bx, bx),
+                           pl.ds(pl.multiple_of(jj * by, 8), by), :],
+                    sems_out.at[slot, si],
+                ))
+            return cps
+
+        slot = jax.lax.rem(t, jnp.int32(2))
+        nslot = jax.lax.rem(t + 1, jnp.int32(2))
+
+        @pl.when(t == 0)
+        def _():
+            for cp in in_copies_full(0, 0):
+                cp.start()
+
+        # issue next tile's row-start / tiles-mode loads as early as
+        # possible (they don't depend on this tile's data)
+        if not sweep:
+            @pl.when(t + 1 < n_tiles)
+            def _():
+                for cp in in_copies_full(t + 1, nslot):
+                    cp.start()
+        else:
+            jj1 = jax.lax.rem(t + 1, jnp.int32(gy))
+            jj0 = jax.lax.rem(t, jnp.int32(gy))
+            wraps = by > py  # last tile of a row needs a 2-frag fresh load
+
+            @pl.when(jnp.logical_and(t + 1 < n_tiles, jj1 == 0))
+            def _():
+                for cp in in_copies_full(t + 1, nslot):
+                    cp.start()
+
+        # ---------------- input-independent noise normals -------------
+        # Generated BEFORE the DMA waits: the PRNG + Box-Muller work
+        # (~30% of the step) fills the core's otherwise-idle DMA stall.
+        dtype = fout_hbm.dtype
+        tile_shape = (bx, by, Z)
+        if noise_on:
+            pltpu.prng_seed(seed_ref[0], i * pl.num_programs(1) + j)
+            two_pi = 6.283185307179586
+            npair = (_N_NORMALS + 1) // 2  # 17
+            bits = pltpu.prng_random_bits((2 * npair,) + tile_shape)
+            i24 = pltpu.bitcast(
+                pltpu.bitcast(bits, jnp.uint32) >> 8, jnp.int32)
+            u = i24.astype(dtype) * (1.0 / (1 << 24))
+            r_bm = jnp.sqrt(-2.0 * jnp.log(u[:npair] + (0.5 / (1 << 24))))
+            theta = two_pi * u[npair:]
+            n1 = r_bm * jnp.cos(theta)
+            n2 = r_bm * jnp.sin(theta)
+
+        if not sweep:
+            for cp in in_copies_full(t, slot):
+                cp.wait()
+        else:
+            # wait this tile's own fragments
+            @pl.when(jj0 == 0)
+            def _():
+                for cp in in_copies_full(t, slot):
+                    cp.wait()
+
+            if wraps:
+                @pl.when(jnp.logical_and(jj0 != 0, jj0 != gy - 1))
+                def _():
+                    for cp in in_copies_fresh(t, slot, 1):
+                        cp.wait()
+
+                @pl.when(jj0 == gy - 1)
+                def _():
+                    for cp in in_copies_fresh(t, slot, 2):
+                        cp.wait()
+            else:
+                @pl.when(jj0 != 0)
+                def _():
+                    for cp in in_copies_fresh(t, slot, 1):
+                        cp.wait()
+
+            # mid-row: carry the overlap then fetch only the fresh slab
+            @pl.when(jnp.logical_and(t + 1 < n_tiles, jj1 != 0))
+            def _():
+                carry_overlap(slot, nslot)
+
+            if wraps:
+                @pl.when(jnp.logical_and(
+                    t + 1 < n_tiles,
+                    jnp.logical_and(jj1 != 0, jj1 != gy - 1)))
+                def _():
+                    for cp in in_copies_fresh(t + 1, nslot, 1):
+                        cp.start()
+
+                @pl.when(jnp.logical_and(t + 1 < n_tiles, jj1 == gy - 1))
+                def _():
+                    for cp in in_copies_fresh(t + 1, nslot, 2):
+                        cp.start()
+            else:
+                @pl.when(jnp.logical_and(t + 1 < n_tiles, jj1 != 0))
+                def _():
+                    for cp in in_copies_fresh(t + 1, nslot, 1):
+                        cp.start()
+
+        # before overwriting out[slot], drain the write issued at t-2
+        @pl.when(t >= 2)
+        def _():
+            for cp in out_copies(t - 2, slot):
+                cp.wait()
+
+        ext_f = ext_f2.at[slot]
+        ext_g = ext_g2.at[slot]
+        out_f = out_f2.at[slot]
+        out_g = out_g2.at[slot]
+
+        dtype = fout_hbm.dtype
 
         # -------------------------------------- streamed slices helpers
         def fs(ext, idx, t):
@@ -250,12 +435,11 @@ def _step_kernel(params: LBMParams, shape, bx, by, noise_on,
             af = [-CS2 * a0 * psi_rho * g * inv_rho for g in grad_phi]
             ag = [-CS2 * a0 * psi_phi * g * inv_phi for g in grad_rho]
 
-        # ------------------------------------------------------- noise
+        # ----------------------- noise amplitudes x normals -----------
+        # (normals n1, n2 were generated before the DMA waits above)
         lam_f = params.lam_f
         lam_g = params.lam_g
-        tile_shape = (bx, by, Z)
         if noise_on:
-            pltpu.prng_seed(seed_ref[0], i * pl.num_programs(1) + j)
             kBT = params.kBT
             pref_f = 2.0 * (lam_f - 0.5 * lam_f * lam_f) * kBT
             pref_g = 2.0 * (lam_g - 0.5 * lam_g * lam_g) * kBT
@@ -264,19 +448,6 @@ def _step_kernel(params: LBMParams, shape, bx, by, noise_on,
                 pref_f * jnp.abs(rho * phi * safe_inv(rhot_)))
             sq_rho = jnp.sqrt(jnp.abs(rho))
             sq_phi = jnp.sqrt(jnp.abs(phi))
-
-            two_pi = 6.283185307179586
-            npair = (_N_NORMALS + 1) // 2  # 17
-
-            # one batched draw: (2*npair, bx, by, Z) uniforms
-            bits = pltpu.prng_random_bits((2 * npair,) + tile_shape)
-            i24 = pltpu.bitcast(
-                pltpu.bitcast(bits, jnp.uint32) >> 8, jnp.int32)
-            u = i24.astype(dtype) * (1.0 / (1 << 24))
-            r = jnp.sqrt(-2.0 * jnp.log(u[:npair] + (0.5 / (1 << 24))))
-            theta = two_pi * u[npair:]
-            n1 = r * jnp.cos(theta)
-            n2 = r * jnp.sin(theta)
 
             def normal(a):
                 return n1[a // 2] if a % 2 == 0 else n2[a // 2]
@@ -385,35 +556,39 @@ def _step_kernel(params: LBMParams, shape, bx, by, noise_on,
         pops_from(mg, out_g)
 
         # ------------------------------------------------- write back
-        ocs = []
-        for (src, dst) in ((out_f, fout_hbm), (out_g, gout_hbm)):
-            cp = pltpu.make_async_copy(
-                src,
-                dst.at[:, pl.ds(i * bx, bx), pl.ds(j * by, by), :],
-                sems.at[len(ocs)],
-            )
+        for cp in out_copies(t, slot):
             cp.start()
-            ocs.append(cp)
-        for cp in ocs:
-            cp.wait()
+
+        # drain the last two tiles' writes before the kernel exits
+        @pl.when(t == n_tiles - 1)
+        def _():
+            for cp in out_copies(t, slot):
+                cp.wait()
+            if n_tiles > 1:
+                @pl.when(t >= 1)
+                def _():
+                    for cp in out_copies(t - 1, jax.lax.rem(t + 1, jnp.int32(2))):
+                        cp.wait()
 
     pl.run_scoped(
         body,
-        ext_f=pltpu.VMEM((Q, exb, eyb, Z), fout_hbm.dtype),
-        ext_g=pltpu.VMEM((Q, exb, eyb, Z), fout_hbm.dtype),
-        out_f=pltpu.VMEM((Q, bx, by, Z), fout_hbm.dtype),
-        out_g=pltpu.VMEM((Q, bx, by, Z), fout_hbm.dtype),
-        sems=pltpu.SemaphoreType.DMA((18,)),
+        ext_f2=pltpu.VMEM((2, Q, exb, eyb, Z), fout_hbm.dtype),
+        ext_g2=pltpu.VMEM((2, Q, exb, eyb, Z), fout_hbm.dtype),
+        out_f2=pltpu.VMEM((2, Q, bx, by, Z), fout_hbm.dtype),
+        out_g2=pltpu.VMEM((2, Q, bx, by, Z), fout_hbm.dtype),
+        sems_in=pltpu.SemaphoreType.DMA((2, 18)),
+        sems_out=pltpu.SemaphoreType.DMA((2, 2)),
     )
 
 
 def _fused_step_call(params: LBMParams, shape, tile, noise_on,
-                     seed, fc, gc):
+                     seed, fc, gc, mode="auto"):
     X, Y, Z = shape
     bx, by = tile
     assert X % bx == 0 and Y % by == 0, (shape, tile)
     grid = (X // bx, Y // by)
-    kern = functools.partial(_step_kernel, params, shape, bx, by, noise_on)
+    kern = functools.partial(_step_kernel, params, shape, bx, by, noise_on,
+                             mode)
     out_shape = [jax.ShapeDtypeStruct(fc.shape, fc.dtype)] * 2
     fo, go = pl.pallas_call(
         kern,
@@ -433,7 +608,7 @@ def _fused_step_call(params: LBMParams, shape, tile, noise_on,
 
 
 def fused_stream_collide(state: SimState, params: LBMParams,
-                         tile=None) -> SimState:
+                         tile=None, mode="auto") -> SimState:
     """One K = collide o stream update in post-collide state space."""
     shape = tuple(state.f.shape[1:])
     tile = tile or _choose_tile(shape)
@@ -442,11 +617,12 @@ def fused_stream_collide(state: SimState, params: LBMParams,
                               maxval=jnp.iinfo(jnp.int32).max,
                               dtype=jnp.int32)
     fo, go = _fused_step_call(params, shape, tile, params.noise_on,
-                              seed, state.f, state.g)
+                              seed, state.f, state.g, mode)
     return SimState(f=fo, g=go, key=key, step=state.step + 1)
 
 
-def make_nsteps(params: LBMParams, n: int, tile=None, force: bool = False):
+def make_nsteps(params: LBMParams, n: int, tile=None, force: bool = False,
+                mode: str = "auto"):
     """n standard steps via the fused kernel.
 
     Returns jitted fn: SimState (post-stream) -> SimState (post-stream).
@@ -474,7 +650,7 @@ def make_nsteps(params: LBMParams, n: int, tile=None, force: bool = False):
         s = SimState(f=f1, g=g1, key=key, step=state.step + 1)
 
         def body(s, _):
-            return fused_stream_collide(s, params, tile), None
+            return fused_stream_collide(s, params, tile, mode), None
 
         s, _ = jax.lax.scan(body, s, None, length=n - 1)
         # exit: stream the last post-collide state

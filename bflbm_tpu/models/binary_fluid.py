@@ -34,23 +34,38 @@ from ..ops import stream as stream_ops
 from ..state import SimState, init_state
 
 
-def prelude(state: SimState, params: LBMParams):
+def prelude(state: SimState, params: LBMParams, ref_state=None):
     """Noise draw + real-hydrovar reconstruction for the current state.
 
     Returns (hydro, xi_f, xi_g, key') where key' is the advanced RNG key.
     Equivalent to the reference's end-of-step density/noise/hydrovars
     passes (LBM_binary.H:583-592) relocated to the consumer side.
+
+    ref_state: optional (rho_eq, phi_eq, com_ref) enabling the
+    reference's USE_REF_STATE noise path — amplitudes evaluated at the
+    stored equilibrium state translated into the instantaneous
+    center-of-mass frame (LBM_binary.H:92-106 + update_com per step).
     """
     hbar = hydro_ops.hydrovars_bar(state.f, state.g, params)
     key, sub = jax.random.split(state.key)
-    xi_f, xi_g = noise_ops.thermal_noise(sub, hbar.rho, hbar.phi, params)
+    if ref_state is not None:
+        from ..observables import stats
+
+        rho_eq, phi_eq, com_ref = ref_state
+        com = stats.center_of_mass(hbar.rho)
+        noise_ref = (rho_eq, phi_eq, com - jnp.asarray(com_ref))
+    else:
+        noise_ref = None
+    xi_f, xi_g = noise_ops.thermal_noise(sub, hbar.rho, hbar.phi, params,
+                                         noise_ref)
     h = hydro_ops.hydrovars(state.f, state.g, xi_f, xi_g, params, hbar)
     return h, xi_f, xi_g, key
 
 
-def step(state: SimState, params: LBMParams) -> Tuple[SimState, hydro_ops.Hydro]:
+def step(state: SimState, params: LBMParams,
+         ref_state=None) -> Tuple[SimState, hydro_ops.Hydro]:
     """One full LB timestep; returns (new_state, hydro-at-step-start)."""
-    h, xi_f, xi_g, key = prelude(state, params)
+    h, xi_f, xi_g, key = prelude(state, params, ref_state)
     f1, g1 = collide_ops.collide(state.f, state.g, h, xi_f, xi_g, params)
     f2 = stream_ops.stream(f1)
     g2 = stream_ops.stream(g1)

@@ -34,6 +34,16 @@ from ..config import LBMParams
 from ..lattice import B, CS2, Q
 
 
+def _roll3(field: jnp.ndarray, shift):
+    """Periodic translation by an integer 3-vector (COM-frame shift:
+    cell x samples the reference state at x - shift, matching the
+    reference's shifted-coordinate lookup)."""
+    out = field
+    for d in range(3):
+        out = jnp.roll(out, shift[d], axis=d)
+    return out
+
+
 def noise_amplitudes(rho, phi, params: LBMParams, dtype=None):
     """Per-mode noise std-devs; returns (amp_mom, amp_ghost_f, amp_ghost_g).
 
@@ -55,13 +65,25 @@ def noise_amplitudes(rho, phi, params: LBMParams, dtype=None):
 
 
 def thermal_noise(key: jax.Array, rho: jnp.ndarray, phi: jnp.ndarray,
-                  params: LBMParams) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Draw per-mode noise moments (xi_f, xi_g), each shape (19, X, Y, Z)."""
+                  params: LBMParams,
+                  ref_state=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Draw per-mode noise moments (xi_f, xi_g), each shape (19, X, Y, Z).
+
+    ref_state: optional (rho_eq, phi_eq, com_shift) — the reference's
+    ``USE_REF_STATE`` path (LBM_binary.H:92-106): amplitudes evaluated at
+    a stored equilibrium state translated by the integer center-of-mass
+    displacement instead of the instantaneous densities.
+    """
     shape = rho.shape
     dtype = rho.dtype
     if not params.noise_on:
         z = jnp.zeros((Q,) + shape, dtype)
         return z, z
+    if ref_state is not None:
+        rho_eq, phi_eq, com_shift = ref_state
+        shift = jnp.round(com_shift).astype(jnp.int32)
+        rho = _roll3(jnp.asarray(rho_eq, dtype), shift)
+        phi = _roll3(jnp.asarray(phi_eq, dtype), shift)
     amp_mom, amp_gf, amp_gg = noise_amplitudes(rho, phi, params, dtype)
     # One fused draw: 3 momentum + 15 f-ghost + 15 g-ghost normals.
     n = jax.random.normal(key, (33,) + shape, dtype)

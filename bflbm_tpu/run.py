@@ -17,6 +17,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import math
 import os
 import time
 from typing import Callable, Optional
@@ -44,11 +45,13 @@ def _chunked(total: int, chunk: int):
         done += n
 
 
-def run(cfg: RunConfig, *, mesh=None,
+def run(cfg: RunConfig, *, mesh=None, engine: str = "auto",
         on_frame: Optional[Callable] = None) -> SimState:
     """Execute a configured run; returns the final state.
 
     mesh: optional jax.sharding.Mesh for multi-device execution (GSPMD).
+    engine: 'auto' (fused Pallas kernel on TPU where supported, else
+    jnp), 'jnp', 'pallas', or 'halo' (shard_map + ppermute; needs mesh).
     on_frame(step, packed_hydro) is called at plot_int cadence.
     """
     p = cfg.params
@@ -61,10 +64,63 @@ def run(cfg: RunConfig, *, mesh=None,
     os.makedirs(cfg.out_dir, exist_ok=True)
     metrics = MetricsWriter(os.path.join(cfg.out_dir, "metrics.jsonl"))
 
-    step_hydro = jax.jit(
-        lambda s: (lambda ns, h: (ns, hydro_ops.pack(h)))(*model.step(s, p)))
-    step_plain = jax.jit(lambda s: model.step(s, p)[0], donate_argnums=0)
-    hydro_only = jax.jit(lambda s: hydro_ops.pack(model.compute_hydro(s, p)))
+    # USE_REF_STATE noise path: amplitudes from the stored equilibrium
+    # state in the COM frame (main_run_job.cpp:216-235 + LBM_binary.H:92)
+    ref_state = None
+    if cfg.use_ref_state:
+        if not cfg.ref_state_path:
+            raise ValueError("use_ref_state requires ref_state_path")
+        from .observables import stats as stats_obs
+
+        rho_eq, phi_eq, _ = ckpt.load_equilibrium(cfg.ref_state_path)
+        rho_eq = jnp.asarray(rho_eq, cfg.dtype)
+        phi_eq = jnp.asarray(phi_eq, cfg.dtype)
+        com_ref = np.asarray(stats_obs.center_of_mass(rho_eq))
+        ref_state = (rho_eq, phi_eq, com_ref)
+
+    step_plain = jax.jit(lambda s: model.step(s, p, ref_state)[0],
+                         donate_argnums=0)
+    hydro_only = jax.jit(
+        lambda s: hydro_ops.pack(model.prelude(s, p, ref_state)[0]))
+    noise_only = jax.jit(lambda s: model.prelude(s, p, ref_state)[1:3])         if cfg.out_noise_int > 0 else None
+
+    # Fast bulk advancement: between observable events, advance `chunk`
+    # steps at once through the selected engine (fused Pallas kernel on
+    # TPU where the shape supports it; jnp scan otherwise).
+    events = [v for v in (cfg.plot_int, cfg.print_int, cfg.out_noise_int,
+                          cfg.sf_every if (p.noise_on and cfg.sf_window)
+                          else 0) if v]
+    chunk = events[0] if events else cfg.nsteps
+    for v in events[1:]:
+        chunk = math.gcd(chunk, v)
+    chunk = max(1, min(chunk, cfg.nsteps))
+    run_chunk = None
+    if cfg.use_ref_state:
+        engine = "jnp"  # chunk engines do not thread the ref state
+    if chunk > 2 and engine != "jnp":
+        if engine in ("auto", "pallas"):
+            from .kernels import fused_step
+
+            if (fused_step.supports_shape(cfg.shape)
+                    and p.alpha1 == 0.0
+                    and jax.devices()[0].platform == "tpu"):
+                run_chunk = fused_step.make_nsteps(p, chunk)
+        if run_chunk is None and engine == "halo" and mesh is not None:
+            from .parallel import halo as halo_par
+
+            run_chunk = halo_par.make_halo_nsteps(mesh, p, chunk)
+        if run_chunk is None and engine != "auto":
+            raise ValueError(
+                f"engine {engine!r} unavailable for this configuration")
+    if run_chunk is None and chunk > 1:
+        def _scan_chunk(s):
+            def body(st, _):
+                st, _h = model.step(st, p, ref_state)
+                return st, None
+            out, _ = jax.lax.scan(body, s, None, length=chunk)
+            return out
+
+        run_chunk = jax.jit(_scan_chunk, donate_argnums=0)
 
     # structure factors over the trailing window (main_run_job.cpp:330,342-349)
     sf_state = None
@@ -86,18 +142,27 @@ def run(cfg: RunConfig, *, mesh=None,
 
     t0 = time.perf_counter()
     last = cfg.step_continue + cfg.nsteps
-    for step_i in range(first + 1, last + 1):
+    step_i = first
+    while step_i < last:
+        n = min(chunk, last - step_i)
+        if run_chunk is not None and n == chunk:
+            state = run_chunk(state)
+        else:
+            for _ in range(n):
+                state = step_plain(state)
+        step_i += n
+
+        if noise_only is not None and step_i % cfg.out_noise_int == 0:
+            xi_f, xi_g = noise_only(state)
+            fields_io.write_noise_frame(cfg.out_dir, step_i, xi_f, xi_g)
+
         need_hydro = (
             (cfg.plot_int > 0 and step_i % cfg.plot_int == 0)
             or (use_sf and step_i >= sf_start and step_i % cfg.sf_every == 0)
-            or (cfg.t_window > 0 and not p.noise_on and step_i >= eq_start
-                and cfg.plot_int > 0 and step_i % cfg.plot_int == 0)
+            or (cfg.print_int > 0 and step_i % cfg.print_int == 0)
             or step_i == last
         )
-        if need_hydro:
-            state, packed = step_hydro(state)
-        else:
-            state = step_plain(state)
+        packed = hydro_only(state) if need_hydro else None
 
         if use_sf and step_i >= sf_start and step_i % cfg.sf_every == 0:
             if sf_state is None:
@@ -116,19 +181,19 @@ def run(cfg: RunConfig, *, mesh=None,
                 eq_count += 1
 
         if cfg.print_int > 0 and step_i % cfg.print_int == 0:
-            rho = packed[0] if need_hydro else None
+            rho = packed[0]
             rec = {"mlups": (step_i - first)
                    * np.prod(cfg.shape) / (time.perf_counter() - t0) / 1e6}
-            if rho is not None:
-                if bool(debug.has_nonfinite(rho)):
-                    ckpt.save_state(
-                        os.path.join(cfg.out_dir, f"abort{step_i:07d}"),
-                        state)
-                    raise FloatingPointError(
-                        f"non-finite density at step {step_i}; "
-                        "state checkpointed")
-                st = debug.field_stats(rho)
-                rec.update({k: float(v) for k, v in st.items()})
+            if bool(debug.has_nonfinite(rho)):
+                ckpt.save_state(
+                    os.path.join(cfg.out_dir, f"abort{step_i:07d}"), state)
+                raise FloatingPointError(
+                    f"non-finite density at step {step_i}; "
+                    "state checkpointed")
+            st = debug.field_stats(rho)
+            rec.update({k: float(v) for k, v in st.items()})
+            rec["mass_f"] = float(debug.mass(state.f))
+            rec["mass_g"] = float(debug.mass(state.g))
             metrics.log(step_i, **rec)
 
     # end-of-run artifacts
@@ -170,6 +235,8 @@ def main(argv=None):
     ap.add_argument("--f64", action="store_true")
     ap.add_argument("--mesh", type=int, nargs=3, default=None,
                     help="device mesh shape (x y z)")
+    ap.add_argument("--engine", choices=["auto", "jnp", "pallas", "halo"],
+                    default="auto")
     args = ap.parse_args(argv)
 
     cfg = preset(args.preset)
@@ -201,7 +268,7 @@ def main(argv=None):
 
         mesh = mesh_lib.make_mesh(tuple(args.mesh))
 
-    state = run(cfg, mesh=mesh)
+    state = run(cfg, mesh=mesh, engine=args.engine)
     print(json.dumps({"final_step": int(state.step),
                       "out_dir": cfg.out_dir}))
 

@@ -33,8 +33,13 @@ def test_fused_matches_jnp_deterministic(alpha0, shape):
     for _ in range(n):
         ref, _ = model.step(ref, params)
 
+    # interpret mode cannot simulate cross-grid-step DMAs (the manual
+    # double-buffer pipeline), so force a single-tile grid here; the
+    # multi-tile/sweep load paths are validated on hardware
+    # (benchmarks/tpu_kernel_full.py).
     with pltpu.force_tpu_interpret_mode():
-        run = fused_step.make_nsteps(params, n, force=True)
+        run = fused_step.make_nsteps(params, n, force=True,
+                                     tile=(shape[0], shape[1]))
         got = run(state)
 
     assert int(got.step) == n

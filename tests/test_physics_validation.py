@@ -1,0 +1,158 @@
+"""Statistical / structural physics validation (the reference's notebook
+suite distilled into CI-sized checks; SURVEY.md §4.6).
+
+Sizes and step counts are scaled down to keep CPU runtime in minutes;
+the full-size acceptance runs live in benchmarks/ and the analysis CLI.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bflbm_tpu.config import LBMParams
+from bflbm_tpu.models import binary_fluid as model
+from bflbm_tpu.observables import free_energy, structfact as sf_lib
+from bflbm_tpu.ops import hydro as hydro_ops
+
+pytestmark = pytest.mark.physics
+
+
+def _advance(state, params, n):
+    run = jax.jit(lambda s: model.nsteps(s, params, n), donate_argnums=0)
+    return run(state)
+
+
+@pytest.mark.slow
+def test_equilibrium_structure_factor_flat():
+    """Mixture.ipynb cell 2: S_rho(k)/(kBT/cs2) ~ 1, flat in k."""
+    kBT = 1e-4
+    params = LBMParams(alpha0=0.0, kBT=kBT)
+    state = model.init_mixture((12, 12, 12), params, dtype=jnp.float32)
+    state = _advance(state, params, 200)  # decorrelate
+
+    step5 = jax.jit(lambda s: model.nsteps(s, params, 5), donate_argnums=0)
+    acc = None
+    nfr = 60
+    for _ in range(nfr):
+        state = step5(state)
+        rho = np.asarray(jnp.sum(state.f, axis=0))
+        p = np.abs(np.fft.fftn(rho - rho.mean())) ** 2 / rho.size
+        acc = p if acc is None else acc + p
+    k, s = sf_lib.radial_average(acc / nfr)
+    ratio = s / (kBT * 3.0)  # kBT/cs2
+    # flat and near 1 (few-% statistical tolerance)
+    assert abs(ratio.mean() - 1.0) < 0.10, ratio
+    # no systematic k-tilt: low-k vs high-k halves agree
+    half = len(ratio) // 2
+    assert abs(ratio[:half].mean() - ratio[half:].mean()) < 0.15
+
+
+@pytest.mark.slow
+def test_velocity_structure_factors():
+    """Velocity equipartition (Mixture.ipynb cells 1-2): the BARE LB
+    velocity satisfies S_ufbar(k)/(kBT/rho) ~ 1; the REAL velocity
+    uf = 3/4 ufbar + 1/4 ugbar + xi/(2 rho) (at alpha0=0, tau=1/2)
+    carries the 3/4 combination identity: S_uf(k)/kBT ~ 3/4."""
+    kBT = 1e-4
+    params = LBMParams(alpha0=0.0, kBT=kBT)
+    state = model.init_mixture((12, 12, 12), params, dtype=jnp.float32)
+    state = _advance(state, params, 200)
+    step5 = jax.jit(lambda s: model.nsteps(s, params, 5), donate_argnums=0)
+    acc_bar = None
+    acc_real = None
+    nfr = 60
+    for _ in range(nfr):
+        state = step5(state)
+        h = model.compute_hydro(state, params)
+        ub = np.asarray(h.uf_bar[0])
+        ur = np.asarray(h.uf[0])
+        pb = np.abs(np.fft.fftn(ub - ub.mean())) ** 2 / ub.size
+        pr = np.abs(np.fft.fftn(ur - ur.mean())) ** 2 / ur.size
+        acc_bar = pb if acc_bar is None else acc_bar + pb
+        acc_real = pr if acc_real is None else acc_real + pr
+    _, sb = sf_lib.radial_average(acc_bar / nfr)
+    _, sr = sf_lib.radial_average(acc_real / nfr)
+    assert abs(sb.mean() / kBT - 1.0) < 0.12, sb.mean() / kBT
+    assert abs(sr.mean() / kBT - 0.75) < 0.10, sr.mean() / kBT
+
+
+@pytest.mark.slow
+def test_interface_plateau_approaches_binodal():
+    """Deterministic stripe relaxes to bulk densities near the binodal
+    of the continuum free energy (surface_tension_predict.ipynb) and
+    stays mass-conserving."""
+    params = LBMParams(alpha0=1.5, kBT=0.0, kappa=0.1, rho_lo=0.1,
+                       rho_hi=3.0)
+    state = model.init_stripe((4, 8, 64), params, dtype=jnp.float32)
+    m0 = float(np.asarray(state.f, np.float64).sum())
+    state = _advance(state, params, 2000)
+    rho = np.asarray(jnp.sum(state.f, axis=0)).mean(axis=(0, 1))
+    m1 = float(np.asarray(state.f, np.float64).sum())
+    # f32 state accumulates O(1e-8)/step relative round-off; no secular
+    # leak (the f64 path conserves to 1e-13, test_physics_basic)
+    assert np.isclose(m1, m0, rtol=3e-4), (m0, m1)
+    lo_b, hi_b = free_energy.binodal_densities(3.1, 1.5)
+    plateau_hi = rho[28:36].mean()
+    plateau_lo = rho[:4].mean()
+    # LBM bulk densities approach the theory binodal (not exactly — the
+    # lattice model differs at O(grad^2); generous brackets)
+    assert abs(plateau_hi - hi_b) < 0.25, (plateau_hi, hi_b)
+    assert plateau_lo < 0.25
+    # interface is monotone between plateaus on each side
+    mid = 0.5 * (plateau_hi + plateau_lo)
+    crossings = np.sum(np.diff(np.sign(rho - mid)) != 0)
+    assert crossings == 2
+
+
+@pytest.mark.slow
+def test_droplet_equilibrium_radius_matches_reference():
+    """The reference's pinned equilibrium radius (Surface_Tension.ipynb
+    cell 17 / BASELINE.md): init r=0.2, alpha0=1.5, rho_hi=3, 32^3 ->
+    R/L = 0.1760534.  Our deterministic relaxation lands within 0.5%.
+    The Laplace jump is positive (gamma itself needs the multi-radius
+    slope fit — the single-droplet DeltaP has a curvature-independent
+    offset; see analysis CLI `laplace`)."""
+    from bflbm_tpu.observables import droplet as drop_obs
+
+    params = LBMParams(alpha0=1.5, kBT=0.0, kappa=0.1, rho_lo=0.0,
+                       rho_hi=3.0)
+    state = model.init_droplet((32, 32, 32), params, dtype=jnp.float32,
+                               radius=0.2)
+    state = _advance(state, params, 3000)
+    rho = np.asarray(jnp.sum(state.f, axis=0))
+    phi = np.asarray(jnp.sum(state.g, axis=0))
+    excess = rho - rho[0, 0, 0]
+    com = drop_obs.center_of_mass(excess)
+    fit = drop_obs.fit_droplet(rho, com)
+    np.testing.assert_allclose(fit["R"] / 32.0, 0.1760534, rtol=5e-3)
+    dp = drop_obs.laplace_delta_p(rho, phi, 1.5, com)
+    assert dp > 0.0
+
+
+def test_run_loop_with_sf_accumulation(tmp_path):
+    """End-to-end run() on CPU with structure factors + resume."""
+    from bflbm_tpu import run as run_mod
+    from bflbm_tpu.config import RunConfig
+
+    cfg = RunConfig(
+        shape=(8, 8, 8),
+        params=LBMParams(alpha0=0.0, kBT=1e-4),
+        nsteps=40, plot_int=20, print_int=20, sf_window=20, sf_every=5,
+        out_dir=str(tmp_path / "run"), init="mixture",
+    )
+    state = run_mod.run(cfg)
+    assert int(state.step) == 40
+    import os
+
+    files = os.listdir(cfg.out_dir)
+    assert any(f.startswith("structfact") for f in files)
+    assert any(f.startswith("checkpoint") for f in files)
+    # resume
+    cfg2 = cfg.replace(init="checkpoint",
+                       checkpoint_path=str(tmp_path / "run" /
+                                           "checkpoint0000040"),
+                       step_continue=40, nsteps=10, sf_window=0,
+                       out_dir=str(tmp_path / "run2"))
+    state2 = run_mod.run(cfg2)
+    assert int(state2.step) == 50
