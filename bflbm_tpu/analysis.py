@@ -29,9 +29,10 @@ CS2 = 1.0 / 3.0
 
 
 def _frames(out_dir: str) -> List[str]:
-    fr = sorted(glob.glob(os.path.join(out_dir, "plt*.npz")))
+    fr = sorted(glob.glob(os.path.join(out_dir, "plt*.npz"))
+                + glob.glob(os.path.join(out_dir, "plt*.bflbm")))
     if not fr:
-        raise FileNotFoundError(f"no plt*.npz frames in {out_dir}")
+        raise FileNotFoundError(f"no plt* frames in {out_dir}")
     return fr
 
 

@@ -17,14 +17,32 @@ import numpy as np
 from ..ops.hydro import HYDRO_NAMES
 
 
-def frame_path(out_dir: str, step: int, ndigits: int = 7) -> str:
-    return os.path.join(out_dir, f"plt{step:0{ndigits}d}.npz")
+_AUTO_NATIVE_BYTES = 32 * 2 ** 20  # frames above this use the native writer
 
 
-def write_frame(out_dir: str, step: int, packed_hydro) -> str:
-    """packed_hydro: (22, X, Y, Z) array following HYDRO_NAMES order."""
+def frame_path(out_dir: str, step: int, ndigits: int = 7,
+               ext: str = "npz") -> str:
+    return os.path.join(out_dir, f"plt{step:0{ndigits}d}.{ext}")
+
+
+def write_frame(out_dir: str, step: int, packed_hydro,
+                fmt: str = "auto") -> str:
+    """packed_hydro: (22, X, Y, Z) array following HYDRO_NAMES order.
+
+    fmt: 'npz' | 'native' | 'auto' (native CRC container for large
+    frames — np.savez_compressed is prohibitively slow at 256^3)."""
     os.makedirs(out_dir, exist_ok=True)
     arr = np.asarray(packed_hydro)
+    if fmt == "auto":
+        fmt = "native" if arr.nbytes >= _AUTO_NATIVE_BYTES else "npz"
+    if fmt == "native":
+        from . import native
+
+        if native.available():
+            path = frame_path(out_dir, step, ext="bflbm")
+            native.write_fields(
+                path, {n: arr[i] for i, n in enumerate(HYDRO_NAMES)})
+            return path
     path = frame_path(out_dir, step)
     np.savez_compressed(path, step=step,
                         **{n: arr[i] for i, n in enumerate(HYDRO_NAMES)})
@@ -32,6 +50,16 @@ def write_frame(out_dir: str, step: int, packed_hydro) -> str:
 
 
 def read_frame(path: str) -> Dict[str, np.ndarray]:
+    if path.endswith(".bflbm"):
+        from . import native
+
+        out = native.read_fields(path)
+        import re
+
+        m = re.search(r"plt(\d+)\.bflbm$", path)
+        if m:
+            out["step"] = np.asarray(int(m.group(1)))
+        return out
     with np.load(path) as d:
         return {k: d[k] for k in d.files}
 

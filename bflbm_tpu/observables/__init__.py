@@ -1,1 +1,2 @@
-from . import droplet, free_energy, interface, msd, stats, structfact  # noqa: F401
+from . import (  # noqa: F401
+    correlation, droplet, free_energy, interface, msd, stats, structfact)

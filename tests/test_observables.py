@@ -167,3 +167,34 @@ def test_spherical_harmonics_sphere_is_pure_00():
     for (l, m), v in amps.items():
         if l > 0:
             assert abs(v) < 1e-10
+
+
+def test_correlation_axis_cut_and_vacf():
+    from bflbm_tpu.observables import correlation as corr
+
+    sk = np.zeros((8, 8, 8))
+    sk[2, 0, 0] = 5.0
+    k, c = corr.axis_cut(sk, axis=0)
+    assert c[list(k).index(2.0)] == 5.0
+
+    rng = np.random.default_rng(0)
+    # OU-like series: exponential autocorrelation
+    T, tau = 40000, 10.0
+    a = np.exp(-1.0 / tau)
+    v = np.zeros((T, 3))
+    for t in range(1, T):
+        v[t] = a * v[t - 1] + rng.normal(0, 1, 3)
+    c = corr.velocity_autocorrelation(v, 30)
+    np.testing.assert_allclose(c[1], a, atol=0.05)
+    np.testing.assert_allclose(c[10], a ** 10, atol=0.05)
+
+
+def test_time_series_and_mean_density():
+    from bflbm_tpu.observables import correlation as corr
+
+    frames = [{"rho": np.full((4, 4, 4), float(i)), "phi": np.ones((4, 4, 4)),
+               "step": i} for i in range(5)]
+    ts = corr.time_series(frames, "rho")
+    np.testing.assert_allclose(ts["mean"], np.arange(5.0))
+    md = corr.time_mean_density(frames)
+    np.testing.assert_allclose(md["rho"], 2.0)

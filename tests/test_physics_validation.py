@@ -156,3 +156,27 @@ def test_run_loop_with_sf_accumulation(tmp_path):
                        out_dir=str(tmp_path / "run2"))
     state2 = run_mod.run(cfg2)
     assert int(state2.step) == 50
+
+
+def test_engines_agree(tmp_path):
+    """run() through jnp and halo engines produces identical physics
+    (same RNG protocol; GSPMD/jnp vs shard_map + ppermute)."""
+    import jax
+
+    from bflbm_tpu import run as run_mod
+    from bflbm_tpu.config import RunConfig
+    from bflbm_tpu.parallel import mesh as mesh_lib
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = RunConfig(shape=(8, 8, 16),
+                    params=LBMParams(alpha0=1.5, kBT=1e-5, kappa=0.1,
+                                     rho_lo=0.1, rho_hi=3.0),
+                    nsteps=12, plot_int=6, init="droplet", init_radius=0.3)
+    s1 = run_mod.run(cfg.replace(out_dir=str(tmp_path / "jnp")),
+                     engine="jnp")
+    mesh = mesh_lib.make_mesh((1, 2, 4))
+    s2 = run_mod.run(cfg.replace(out_dir=str(tmp_path / "halo")),
+                     mesh=mesh, engine="halo")
+    np.testing.assert_allclose(np.asarray(s2.f), np.asarray(s1.f),
+                               atol=2e-5)
