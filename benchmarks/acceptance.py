@@ -101,24 +101,27 @@ def phase_c(args):
     run_mod.run(cfg)
     wall = time.time() - t0
 
-    frames = sorted(glob.glob(os.path.join(cfg.out_dir, "plt*.npz")))
-    skip = len(frames) // 5  # discard noise-equilibration transient
+    frames = sorted(glob.glob(os.path.join(cfg.out_dir, "plt*.npz"))
+                    + glob.glob(os.path.join(cfg.out_dir, "plt*.bflbm")))
+    skip = len(frames) // 2  # discard noise-equilibration transient
     heights = []
     level = 0.5 * (0.1 + 3.0)
     for f in frames[skip:]:
         d = fields_io.read_frame(f)
         try:
-            heights.append(iface.interface_height(d["rho"], level))
+            heights.append(
+                iface.interface_height(d["rho"], level)[4, :])
         except ValueError:
             pass
-    k, s = iface.capillary_spectrum(np.asarray(heights), axis=1)
+    k, s = iface.capillary_spectrum_ref(np.asarray(heights))
     kBT = 1e-5
-    gammas = {}
-    for kmax in (0.5, 0.8, 1.2):
-        gammas[f"gamma_kmax{kmax}"] = round(
-            iface.fit_capillary_gamma(k, s, kBT, kmax=kmax), 6)
+    gamma = iface.fit_capillary_gamma_window(k, s, kBT)
+    per_mode = {f"gamma_m{m}": round(float(kBT / (s[m - 1] * k[m - 1] ** 2)), 6)
+                for m in (1, 2, 3, 5, 8)}
     return {"phase": "C", "steps": steps, "wall_s": round(wall, 1),
-            "n_frames": len(heights), "gamma_ref": 0.012162, **gammas}
+            "n_frames": len(heights), "gamma_ref": 0.012162,
+            "gamma_capillary": round(gamma, 6),
+            "rel_dev": round(abs(gamma / 0.012162 - 1), 4), **per_mode}
 
 
 def phase_d(args):

@@ -112,7 +112,9 @@ def _roll_z(arr, shift):
 
 
 def _step_kernel(params: LBMParams, shape, bx, by, noise_on, mode,
-                 seed_ref, fc_hbm, gc_hbm, fout_hbm, gout_hbm):
+                 transform,
+                 mmat_ref, minv_ref, seed_ref,
+                 fc_hbm, gc_hbm, fout_hbm, gout_hbm):
     """Grid program: one (bx, by, Z) interior tile.
 
     Cross-grid-step double buffering: while tile t computes, tile t+1's
@@ -397,20 +399,28 @@ def _step_kernel(params: LBMParams, shape, bx, by, noise_on, mode,
             rho = None  # computed from moments below
             phi = None
 
-        # moments via unrolled basis (M is small-integer valued)
-        def mom(pops):
-            out = []
-            for k in range(Q):
-                acc = None
-                for idx in range(Q):
-                    c = float(M[k, idx])
-                    if c == 0.0:
-                        continue
-                    t = pops[idx] if c == 1.0 else (
-                        -pops[idx] if c == -1.0 else c * pops[idx])
-                    acc = t if acc is None else acc + t
-                out.append(acc)
-            return out
+        # moments: unrolled adds (VPU) or 19x19 matmul (MXU)
+        if transform == "mxu":
+            def mom(pops):
+                x = jnp.stack(pops)
+                m4 = jax.lax.dot_general(
+                    mmat_ref[:], x, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                return [m4[k] for k in range(Q)]
+        else:
+            def mom(pops):
+                out = []
+                for k in range(Q):
+                    acc = None
+                    for idx in range(Q):
+                        c = float(M[k, idx])
+                        if c == 0.0:
+                            continue
+                        t = pops[idx] if c == 1.0 else (
+                            -pops[idx] if c == -1.0 else c * pops[idx])
+                        acc = t if acc is None else acc + t
+                    out.append(acc)
+                return out
 
         mf = mom(fsl)
         mg = mom(gsl)
@@ -541,16 +551,23 @@ def _step_kernel(params: LBMParams, shape, bx, by, noise_on, mode,
                 mg[k] = mg[k] + xi_g[k]
 
         # ------------------------------------------------- back transform
-        def pops_from(mom_list, out_ref):
-            for idx in range(Q):
-                acc = None
-                for k in range(Q):
-                    c = float(M_INV[idx, k])
-                    if c == 0.0:
-                        continue
-                    t = c * mom_list[k]
-                    acc = t if acc is None else acc + t
-                out_ref[idx] = acc
+        if transform == "mxu":
+            def pops_from(mom_list, out_ref):
+                m4 = jnp.stack(mom_list)
+                out_ref[:] = jax.lax.dot_general(
+                    minv_ref[:], m4, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        else:
+            def pops_from(mom_list, out_ref):
+                for idx in range(Q):
+                    acc = None
+                    for k in range(Q):
+                        c = float(M_INV[idx, k])
+                        if c == 0.0:
+                            continue
+                        t = c * mom_list[k]
+                        acc = t if acc is None else acc + t
+                    out_ref[idx] = acc
 
         pops_from(mf, out_f)
         pops_from(mg, out_g)
@@ -582,18 +599,22 @@ def _step_kernel(params: LBMParams, shape, bx, by, noise_on, mode,
 
 
 def _fused_step_call(params: LBMParams, shape, tile, noise_on,
-                     seed, fc, gc, mode="auto"):
+                     seed, fc, gc, mode="auto", transform="unrolled"):
     X, Y, Z = shape
     bx, by = tile
     assert X % bx == 0 and Y % by == 0, (shape, tile)
     grid = (X // bx, Y // by)
     kern = functools.partial(_step_kernel, params, shape, bx, by, noise_on,
-                             mode)
+                             mode, transform)
     out_shape = [jax.ShapeDtypeStruct(fc.shape, fc.dtype)] * 2
+    mmat = jnp.asarray(M, fc.dtype)
+    minv = jnp.asarray(M_INV, fc.dtype)
     fo, go = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # M
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # M_INV
             pl.BlockSpec(memory_space=pltpu.SMEM),   # seed
             pl.BlockSpec(memory_space=pl.ANY),       # fc (HBM)
             pl.BlockSpec(memory_space=pl.ANY),       # gc (HBM)
@@ -603,12 +624,13 @@ def _fused_step_call(params: LBMParams, shape, tile, noise_on,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
-    )(seed, fc, gc)
+    )(mmat, minv, seed, fc, gc)
     return fo, go
 
 
 def fused_stream_collide(state: SimState, params: LBMParams,
-                         tile=None, mode="auto") -> SimState:
+                         tile=None, mode="auto",
+                         transform="unrolled") -> SimState:
     """One K = collide o stream update in post-collide state space."""
     shape = tuple(state.f.shape[1:])
     tile = tile or _choose_tile(shape)
@@ -617,12 +639,12 @@ def fused_stream_collide(state: SimState, params: LBMParams,
                               maxval=jnp.iinfo(jnp.int32).max,
                               dtype=jnp.int32)
     fo, go = _fused_step_call(params, shape, tile, params.noise_on,
-                              seed, state.f, state.g, mode)
+                              seed, state.f, state.g, mode, transform)
     return SimState(f=fo, g=go, key=key, step=state.step + 1)
 
 
 def make_nsteps(params: LBMParams, n: int, tile=None, force: bool = False,
-                mode: str = "auto"):
+                mode: str = "auto", transform: str = "unrolled"):
     """n standard steps via the fused kernel.
 
     Returns jitted fn: SimState (post-stream) -> SimState (post-stream).
@@ -650,7 +672,8 @@ def make_nsteps(params: LBMParams, n: int, tile=None, force: bool = False,
         s = SimState(f=f1, g=g1, key=key, step=state.step + 1)
 
         def body(s, _):
-            return fused_stream_collide(s, params, tile, mode), None
+            return fused_stream_collide(s, params, tile, mode,
+                                         transform), None
 
         s, _ = jax.lax.scan(body, s, None, length=n - 1)
         # exit: stream the last post-collide state

@@ -103,3 +103,33 @@ def profile_interface_width(z_profile: np.ndarray, rho_lo: float,
     z0_guess = zz[np.argmin(np.abs(vv - mid))]
     popt, _ = curve_fit(model, zz, vv, p0=[z0_guess, 1.0], maxfev=10000)
     return float(popt[0]), float(abs(popt[1]))
+
+
+def capillary_spectrum_ref(heights_slice: np.ndarray):
+    """<|h_k|^2> with the reference's exact conventions
+    (Flat_Interface.ipynb cells 7-9): single x-slice height series
+    (T, ny), backward-norm FFT (no 1/N), ENSEMBLE-mean height profile
+    subtracted.  Returns (k, S) over positive k."""
+    h = np.asarray(heights_slice, float)
+    ny = h.shape[1]
+    hmean = h.mean(axis=0)
+    acc = np.zeros(ny)
+    for row in h:
+        hk = np.fft.fft(row - hmean)
+        acc += np.abs(hk) ** 2
+    s = acc / len(h)
+    k = 2.0 * np.pi * np.fft.fftfreq(ny)
+    keep = k > 0
+    return k[keep], s[keep]
+
+
+def fit_capillary_gamma_window(k: np.ndarray, s: np.ndarray, kBT: float,
+                               kmin: float = 0.04,
+                               kmax: float = 0.25) -> float:
+    """gamma from least squares of 1/S vs k^2 through the origin over the
+    capillary window (low-k modes equilibrate slowly; high k leaves the
+    continuum regime — cf. Flat_Interface.ipynb cell 10's log plot)."""
+    sel = (k >= kmin) & (k <= kmax)
+    x = k[sel] ** 2
+    y = 1.0 / s[sel]
+    return float(np.sum(x * y) / np.sum(x * x)) * kBT

@@ -100,3 +100,35 @@ def test_determinism_same_seed():
     s1, _ = run_n(s1, params, 5)
     s2, _ = run_n(s2, params, 5)
     np.testing.assert_array_equal(np.asarray(s1.f), np.asarray(s2.f))
+
+
+def test_asymmetric_relaxation_times():
+    """tau_f != tau_g is supported (the reference hard-codes
+    tau_g_bar = tau_f_bar in noise and forcing; we generalize) —
+    conservation still holds and the run stays finite."""
+    params = LBMParams(alpha0=1.5, kBT=1e-5, kappa=0.1, rho_lo=0.1,
+                       rho_hi=3.0, tau_f=0.5, tau_g=0.8)
+    state = model.init_droplet((10, 10, 10), params, dtype=jnp.float64,
+                               radius=0.3)
+    m_f0 = float(debug.mass(state.f))
+    m_g0 = float(debug.mass(state.g))
+    state, h = run_n(state, params, 20)
+    assert np.isclose(float(debug.mass(state.f)), m_f0, rtol=1e-12)
+    assert np.isclose(float(debug.mass(state.g)), m_g0, rtol=1e-12)
+    assert not bool(debug.has_nonfinite(state.f, state.g, h.uf))
+
+
+def test_units_system():
+    from bflbm_tpu.utils.units import DEFAULT_UNITS, ohnesorge
+
+    u = DEFAULT_UNITS
+    # rho = 1 lbu <-> 1e3 kg/m^3 (system_unit.ipynb)
+    np.testing.assert_allclose(u.density_si, 1e3, rtol=1e-3)
+    # eta = 0.096 lbu <-> ~1e-3 Pa s (water's dynamic viscosity;
+    # kinematic 0.096 dx^2/dt = 1e-6 m^2/s)
+    np.testing.assert_allclose(0.096 * u.viscosity_si, 1e-3, rtol=0.01)
+    # Oh = 1.231 with the reference's droplet numbers:
+    # eta_lbu = rho_t/6 with rho_t ~ 3.1 -> 0.5167? the reference quotes
+    # eta = 0.096 * ... use their pinned combination instead:
+    oh = ohnesorge(0.5167, 3.1, 0.012162, 6.2)
+    assert 1.0 < oh < 1.5  # order agreement with the pinned 1.231
