@@ -191,6 +191,47 @@ _register(
         init="droplet", init_radius=0.2,
     ),
 )
+# Droplet alpha0 variants documented in `Parameters` / Surface_Tension.ipynb
+_register(
+    "droplet-a0.8-eq",  # alpha0=0.8 family (radii 0.38-0.42)
+    RunConfig(
+        shape=(32, 32, 32),
+        params=LBMParams(alpha0=0.8, kBT=0.0, kappa=0.1,
+                         rho_lo=0.0, rho_hi=3.0),
+        nsteps=20_000, plot_int=100, t_window=1000,
+        init="droplet", init_radius=0.4,
+    ),
+)
+_register(
+    "droplet-a1.7-eq",  # alpha0=1.7 family
+    RunConfig(
+        shape=(32, 32, 32),
+        params=LBMParams(alpha0=1.7, kBT=0.0, kappa=0.1,
+                         rho_lo=0.0, rho_hi=3.0),
+        nsteps=20_000, plot_int=100, t_window=1000,
+        init="droplet", init_radius=0.2,
+    ),
+)
+_register(
+    "droplet-a2.5-eq",  # alpha0=2.5, rho_hi=2 (Parameters: kappa=0.1)
+    RunConfig(
+        shape=(32, 32, 32),
+        params=LBMParams(alpha0=2.5, kBT=0.0, kappa=0.1,
+                         rho_lo=0.0, rho_hi=2.0),
+        nsteps=20_000, plot_int=100, t_window=1000,
+        init="droplet", init_radius=0.25,
+    ),
+)
+_register(
+    "droplet-a4-eq",  # alpha0=4, rho_hi=1, kappa=1e-3 (Parameters Case I)
+    RunConfig(
+        shape=(32, 32, 32),
+        params=LBMParams(alpha0=4.0, kBT=0.0, kappa=0.001,
+                         rho_lo=0.0, rho_hi=1.0),
+        nsteps=20_000, plot_int=100, t_window=1000,
+        init="droplet", init_radius=0.5,
+    ),
+)
 _register(
     "bench-256",  # driver north-star benchmark config (BASELINE.json)
     RunConfig(

@@ -231,6 +231,18 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--plot-int", type=int, default=None)
     ap.add_argument("--print-int", type=int, default=None)
+    ap.add_argument("--sf-window", type=int, default=None)
+    ap.add_argument("--sf-every", type=int, default=None)
+    ap.add_argument("--out-noise-int", type=int, default=None)
+    ap.add_argument("--radius", type=float, default=None,
+                    help="droplet init radius (fraction of box)")
+    ap.add_argument("--rho-lo", type=float, default=None)
+    ap.add_argument("--rho-hi", type=float, default=None)
+    ap.add_argument("--kappa", type=float, default=None)
+    ap.add_argument("--tau-f", type=float, default=None)
+    ap.add_argument("--tau-g", type=float, default=None)
+    ap.add_argument("--ref-state", default=None,
+                    help="equilibrium artifact enabling USE_REF_STATE noise")
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--f64", action="store_true")
     ap.add_argument("--mesh", type=int, nargs=3, default=None,
@@ -252,6 +264,20 @@ def main(argv=None):
         cfg = cfg.replace(plot_int=args.plot_int)
     if args.print_int is not None:
         cfg = cfg.replace(print_int=args.print_int)
+    if args.sf_window is not None:
+        cfg = cfg.replace(sf_window=args.sf_window)
+    if args.sf_every is not None:
+        cfg = cfg.replace(sf_every=args.sf_every)
+    if args.out_noise_int is not None:
+        cfg = cfg.replace(out_noise_int=args.out_noise_int)
+    if args.radius is not None:
+        cfg = cfg.replace(init_radius=args.radius)
+    if args.ref_state:
+        cfg = cfg.replace(use_ref_state=True, ref_state_path=args.ref_state)
+    for name in ("rho_lo", "rho_hi", "kappa", "tau_f", "tau_g"):
+        v = getattr(args, name)
+        if v is not None:
+            cfg = cfg.with_params(**{name: v})
     if args.checkpoint:
         cfg = cfg.replace(checkpoint_path=args.checkpoint, init="checkpoint")
     if args.kBT is not None:
