@@ -34,7 +34,13 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--impl", choices=["auto", "jnp", "pallas"],
                     default="auto")
+    ap.add_argument("--coupled", action="store_true",
+                    help="benchmark the coupled model (alpha0=1.5): "
+                    "exercises the in-kernel density + 19-pt gradient "
+                    "force path of the production interface/droplet cases")
     args = ap.parse_args()
+    if args.coupled:
+        args.alpha0 = 1.5
 
     platform = jax.devices()[0].platform
     if args.shape is None:
@@ -83,7 +89,9 @@ def main():
 
     out = {
         "metric": f"MLUPS {shape[0]}x{shape[1]}x{shape[2]} D3Q19 binary "
-                  f"FLBM (kBT={args.kBT}, {impl}, {platform})",
+                  f"FLBM (kBT={args.kBT}"
+                  + (f", alpha0={args.alpha0}" if args.alpha0 else "")
+                  + f", {impl}, {platform})",
         "value": round(res["mlups"], 2),
         "unit": "MLUPS",
         "vs_baseline": round(res["mlups"] / PER_CHIP_TARGET_MLUPS, 4),

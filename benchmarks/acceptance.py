@@ -108,11 +108,9 @@ def phase_c(args):
     level = 0.5 * (0.1 + 3.0)
     for f in frames[skip:]:
         d = fields_io.read_frame(f)
-        try:
-            heights.append(
-                iface.interface_height(d["rho"], level)[4, :])
-        except ValueError:
-            pass
+        # per-column NaN fill (overhangs) instead of dropping whole frames
+        h = iface.fill_missing(iface.interface_height(d["rho"], level))
+        heights.append(h[4, :])
     k, s = iface.capillary_spectrum_ref(np.asarray(heights))
     kBT = 1e-5
     gamma = iface.fit_capillary_gamma_window(k, s, kBT)

@@ -8,6 +8,8 @@ xdg_msd_calc; SURVEY.md §4.6).  Operates on run output directories
     python -m bflbm_tpu.analysis droplet   --dir out/drop  --alpha0 1.5
     python -m bflbm_tpu.analysis msd       --dir out/drop  --kBT 1e-5
     python -m bflbm_tpu.analysis laplace   --dirs out/r20 out/r25 ... --alpha0 1.5
+    python -m bflbm_tpu.analysis noise     --dir out/fluct --kBT 1e-5
+    python -m bflbm_tpu.analysis convergence --dir out/eq --comp rho
 """
 
 from __future__ import annotations
@@ -93,7 +95,8 @@ def cmd_interface(args) -> Dict:
     heights = []
     for f in frames:
         d = fields_io.read_frame(f)
-        heights.append(iface_obs.interface_height(d["rho"], level))
+        heights.append(iface_obs.fill_missing(
+            iface_obs.interface_height(d["rho"], level)))
     k, s = iface_obs.capillary_spectrum(np.asarray(heights), axis=1)
     gamma = iface_obs.fit_capillary_gamma(k, s, args.kBT, kmax=args.kmax)
     prof = iface_obs.mean_profile(fields_io.read_frame(frames[-1])["rho"])
@@ -184,6 +187,84 @@ def cmd_msd(args) -> Dict:
             "R_mean": radius, "n_frames": len(frames)}
 
 
+def cmd_noise(args) -> Dict:
+    """Per-mode noise-covariance ratio table from noise*.npz dumps —
+    the NoiseCovariance.ipynb cells 2-3 analysis: for each mode a,
+    <xi_a^2> (ensemble over frames, per cell) divided by the theoretical
+    FDT variance
+
+        momentum a=1..3 : factor1 * kBT * rho phi / rho_t
+        ghost    a>=4   : factor1 * kBT / cs^2 * b_a * rho
+
+    with factor1 = 2 lam - lam^2, lam = 1/(tau + 1/2).  Densities default
+    to the uniform mixture (rho = phi = 1); pass --rho/--phi to override.
+    """
+    from .lattice import B
+    from .config import LBMParams
+
+    dumps = sorted(glob.glob(os.path.join(args.dir, "noise*.npz")))
+    if not dumps:
+        raise FileNotFoundError(f"no noise*.npz dumps in {args.dir}")
+    dumps = dumps[args.skip:]
+    acc_f = acc_g = None
+    for path in dumps:
+        with np.load(path) as d:
+            xf, xg = d["xi_f"], d["xi_g"]
+        acc_f = xf ** 2 if acc_f is None else acc_f + xf ** 2
+        acc_g = xg ** 2 if acc_g is None else acc_g + xg ** 2
+    acc_f /= len(dumps)
+    acc_g /= len(dumps)
+
+    p = LBMParams(kBT=args.kBT, tau_f=args.tau, tau_g=args.tau)
+    lam = p.lam_f
+    factor1 = 2.0 * lam - lam * lam
+    rho, phi = args.rho, args.phi
+    rhot = rho + phi
+    theory = np.zeros(19)
+    theory[1:4] = factor1 * args.kBT * rho * phi / rhot
+    theory[4:] = factor1 * (args.kBT / CS2) * np.asarray(B[4:])
+    theory_f = theory.copy()
+    theory_f[4:] *= rho
+    theory_g = theory.copy()
+    theory_g[4:] *= phi
+
+    out = {"n_frames": len(dumps)}
+    for a in range(1, 19):
+        rf = acc_f[a] / theory_f[a]
+        rg = acc_g[a] / theory_g[a]
+        out[f"f_a{a}"] = {"mean": float(rf.mean()), "var": float(rf.var())}
+        out[f"g_a{a}"] = {"mean": float(rg.mean()), "var": float(rg.var())}
+    # momentum anti-correlation: <xi_f,a xi_g,a> / var should be -1
+    cross = []
+    for path in dumps:
+        with np.load(path) as d:
+            cross.append(np.mean(d["xi_f"][1:4] * d["xi_g"][1:4]))
+    out["momentum_anticorr"] = float(np.mean(cross) / theory[1])
+    return out
+
+
+def cmd_convergence(args) -> Dict:
+    """Equilibration convergence report (PrintConvergence, Debug.H:276-358):
+    deviation field (1/N) sum_t |c(t) - c_mean| over the trailing frames,
+    reported as L1 (cell mean) and Linf (cell max) norms."""
+    frames = _frames(args.dir)[args.skip:]
+    if args.window:
+        frames = frames[-args.window:]
+    comp = args.comp
+    mean = None
+    for f in frames:
+        arr = fields_io.read_frame(f)[comp].astype(float)
+        mean = arr if mean is None else mean + arr
+    mean /= len(frames)
+    dev = np.zeros_like(mean)
+    for f in frames:
+        dev += np.abs(fields_io.read_frame(f)[comp] - mean)
+    dev /= len(frames)
+    return {"comp": comp, "n_frames": len(frames),
+            "dev_l1": float(dev.mean()), "dev_linf": float(dev.max()),
+            "mean_l1": float(np.abs(mean).mean())}
+
+
 def cmd_theory(args) -> Dict:
     """Free-energy theory numbers (surface_tension_predict.ipynb)."""
     lo, hi = free_energy.binodal_densities(args.rho_t, args.alpha0)
@@ -212,13 +293,22 @@ def main(argv=None):
     p.add_argument("--alpha0", type=float, default=1.5)
     p = sub.add_parser("msd"); common(p)
     p.add_argument("--tau", type=float, default=0.5)
+    p = sub.add_parser("noise"); common(p)
+    p.add_argument("--tau", type=float, default=0.5)
+    p.add_argument("--rho", type=float, default=1.0)
+    p.add_argument("--phi", type=float, default=1.0)
+    p = sub.add_parser("convergence"); common(p)
+    p.add_argument("--comp", default="rho")
+    p.add_argument("--window", type=int, default=0,
+                   help="use only the last N frames")
     p = sub.add_parser("theory")
     p.add_argument("--alpha0", type=float, default=1.5)
     p.add_argument("--rho-t", dest="rho_t", type=float, default=3.1)
 
     args = ap.parse_args(argv)
     fn = {"sk": cmd_sk, "interface": cmd_interface, "droplet": cmd_droplet,
-          "laplace": cmd_laplace, "msd": cmd_msd, "theory": cmd_theory}
+          "laplace": cmd_laplace, "msd": cmd_msd, "noise": cmd_noise,
+          "convergence": cmd_convergence, "theory": cmd_theory}
     print(json.dumps(fn[args.cmd](args), indent=2, default=float))
 
 

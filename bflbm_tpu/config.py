@@ -97,7 +97,6 @@ class RunConfig:
     t_window: int = 0          # trailing window for equilibrium-state average
     out_dir: str = "out"
     dtype: Any = jnp.float32
-    track_com: bool = False    # per-step COM tracking (USE_REF_STATE analog)
     use_ref_state: bool = False  # noise amplitudes from stored eq state
     ref_state_path: Optional[str] = None  # equilibrium artifact (npz)
     out_noise_int: int = 0     # dump noise fields every N steps (0 = off)

@@ -27,7 +27,10 @@ def ensure_built(force: bool = False):
     global _lib
     if _lib is not None and not force:
         return _lib
-    if not os.path.exists(_LIB_PATH) or force:
+    src = os.path.abspath(os.path.join(_NATIVE_DIR, "bflbm_native.cc"))
+    stale = (os.path.exists(_LIB_PATH) and os.path.exists(src)
+             and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH))
+    if not os.path.exists(_LIB_PATH) or stale or force:
         try:
             subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
                            check=True, capture_output=True)

@@ -62,10 +62,62 @@ _PY = 8   # y pad: sublane tiling forces 8-aligned DMA fragments
 def supports_shape(shape: Tuple[int, int, int]) -> bool:
     """Mosaic requires DMA slices 128-aligned along the lane (z) axis and
     8-aligned along the sublane (y) axis, so the fused kernel needs
-    Z % 128 == 0 and Y % 8 == 0; other shapes fall back to the jnp path
-    in :func:`make_nsteps` (they are small physics-validation boxes, not
-    the production perf envelope)."""
+    Z % 128 == 0 and Y % 8 == 0; other shapes run through an axis
+    permutation (:func:`axis_perm_for_shape`) when one fits, else fall
+    back to the jnp path in :func:`make_nsteps`."""
     return shape[2] % 128 == 0 and shape[1] % 8 == 0
+
+
+def axis_perm_for_shape(shape: Tuple[int, int, int]):
+    """Spatial permutation p (new axis k = old axis p[k]) making the shape
+    kernel-tileable, or None.  D3Q19 + MRT collide + FDT noise are exactly
+    equivariant under coordinate permutations (the velocity set maps onto
+    itself; relaxation rates are equal within each basis sector that mixes,
+    and the per-sector noise kernel sum_a e_a(c_i) e_a(c_j) / b_a is
+    basis-independent), so running the unmodified kernel on the transposed
+    field with relabeled populations IS the permuted dynamics.  This is
+    what lets the reference's flat-interface 8x256x64 case (Z=64 < 128)
+    run on the fast path as 8x64x256."""
+    if supports_shape(shape):
+        return (0, 1, 2)
+    best = None
+    for p in ((0, 2, 1), (1, 0, 2), (2, 0, 1), (1, 2, 0), (2, 1, 0)):
+        s = tuple(shape[a] for a in p)
+        if supports_shape(s):
+            # prefer the largest lane extent (better VPU shapes)
+            if best is None or s[2] > tuple(shape[a] for a in best)[2]:
+                best = p
+    return best
+
+
+def supports(shape: Tuple[int, int, int]) -> bool:
+    """True if the fused kernel can run this shape, directly or via an
+    axis permutation."""
+    return axis_perm_for_shape(shape) is not None
+
+
+def _pop_perm(p) -> np.ndarray:
+    """Population relabeling for spatial permutation p: idx[j] = i with
+    C[i][p] == C[j], so the permuted state is f[idx] transposed by p."""
+    cp = C[:, list(p)]
+    idx = np.empty(Q, np.int64)
+    for j in range(Q):
+        (m,) = np.where((cp == C[j]).all(axis=1))
+        idx[j] = m[0]
+    return idx
+
+
+def _permute_pops(arr: jnp.ndarray, p, idx) -> jnp.ndarray:
+    """(Q, X, Y, Z) array -> permuted lattice frame."""
+    return jnp.transpose(arr[jnp.asarray(idx)],
+                         (0, 1 + p[0], 1 + p[1], 1 + p[2]))
+
+
+def _inverse_perm(p):
+    inv = [0, 0, 0]
+    for k, a in enumerate(p):
+        inv[a] = k
+    return tuple(inv)
 
 
 def _choose_tile(shape: Tuple[int, int, int]) -> Tuple[int, int]:
@@ -259,7 +311,13 @@ def _step_kernel(params: LBMParams, shape, bx, by, noise_on, mode,
         dtype = fout_hbm.dtype
         tile_shape = (bx, by, Z)
         if noise_on:
-            pltpu.prng_seed(seed_ref[0], i * pl.num_programs(1) + j)
+            # Seed space: (random word + tile hash, step counter) — a
+            # single 32-bit word would birthday-collide over the 1e6-step
+            # production presets (identical global noise fields ~100x/run);
+            # Mosaic caps prng_seed at 2 words, so the tile index is folded
+            # into the random word by an odd-multiplier (injective) hash.
+            tile_h = (i * pl.num_programs(1) + j) * jnp.int32(-1640531527)
+            pltpu.prng_seed(seed_ref[0] + tile_h, seed_ref[1])
             two_pi = 6.283185307179586
             npair = (_N_NORMALS + 1) // 2  # 17
             bits = pltpu.prng_random_bits((2 * npair,) + tile_shape)
@@ -405,6 +463,7 @@ def _step_kernel(params: LBMParams, shape, bx, by, noise_on, mode,
                 x = jnp.stack(pops)
                 m4 = jax.lax.dot_general(
                     mmat_ref[:], x, (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32)
                 return [m4[k] for k in range(Q)]
         else:
@@ -556,6 +615,7 @@ def _step_kernel(params: LBMParams, shape, bx, by, noise_on, mode,
                 m4 = jnp.stack(mom_list)
                 out_ref[:] = jax.lax.dot_general(
                     minv_ref[:], m4, (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32)
         else:
             def pops_from(mom_list, out_ref):
@@ -635,22 +695,26 @@ def fused_stream_collide(state: SimState, params: LBMParams,
     shape = tuple(state.f.shape[1:])
     tile = tile or _choose_tile(shape)
     key, sub = jax.random.split(state.key)
-    seed = jax.random.randint(sub, (1,), minval=jnp.iinfo(jnp.int32).min,
+    word = jax.random.randint(sub, (1,), minval=jnp.iinfo(jnp.int32).min,
                               maxval=jnp.iinfo(jnp.int32).max,
                               dtype=jnp.int32)
+    seed = jnp.concatenate([word, state.step.astype(jnp.int32)[None]])
     fo, go = _fused_step_call(params, shape, tile, params.noise_on,
                               seed, state.f, state.g, mode, transform)
     return SimState(f=fo, g=go, key=key, step=state.step + 1)
 
 
 def make_nsteps(params: LBMParams, n: int, tile=None, force: bool = False,
-                mode: str = "auto", transform: str = "unrolled"):
+                mode: str = "auto", transform: str = "unrolled",
+                perm=None):
     """n standard steps via the fused kernel.
 
     Returns jitted fn: SimState (post-stream) -> SimState (post-stream).
-    Shapes the kernel cannot tile (see :func:`supports_shape`) and the
-    alpha1 != 0 model fall back to the jnp scan unless ``force`` (used by
-    interpret-mode tests).
+    Shapes the kernel cannot tile directly run in a permuted lattice frame
+    when one fits (:func:`axis_perm_for_shape`); otherwise, and for
+    alpha1 != 0, fall back to the jnp scan unless ``force`` (used by
+    interpret-mode tests).  ``perm`` overrides the automatic permutation
+    choice (tests); ``tile`` is interpreted in the (permuted) kernel frame.
     """
     from ..models import binary_fluid as model
     from ..ops import collide as collide_ops
@@ -662,14 +726,11 @@ def make_nsteps(params: LBMParams, n: int, tile=None, force: bool = False,
     def run_jnp(state: SimState) -> SimState:
         return model.nsteps(state, params, n)
 
-    def run(state: SimState) -> SimState:
-        if not force and (params.alpha1 != 0.0
-                          or not supports_shape(tuple(state.f.shape[1:]))):
-            return run_jnp(state)
+    def fused_body(s: SimState) -> SimState:
         # enter post-collide space: one jnp prelude+collide
-        h, xi_f, xi_g, key = model.prelude(state, params)
-        f1, g1 = collide_ops.collide(state.f, state.g, h, xi_f, xi_g, params)
-        s = SimState(f=f1, g=g1, key=key, step=state.step + 1)
+        h, xi_f, xi_g, key = model.prelude(s, params)
+        f1, g1 = collide_ops.collide(s.f, s.g, h, xi_f, xi_g, params)
+        s = SimState(f=f1, g=g1, key=key, step=s.step + 1)
 
         def body(s, _):
             return fused_stream_collide(s, params, tile, mode,
@@ -679,5 +740,30 @@ def make_nsteps(params: LBMParams, n: int, tile=None, force: bool = False,
         # exit: stream the last post-collide state
         return SimState(f=stream_ops.stream(s.f), g=stream_ops.stream(s.g),
                         key=s.key, step=s.step)
+
+    def run(state: SimState) -> SimState:
+        shape = tuple(state.f.shape[1:])
+        if not force and params.alpha1 != 0.0:
+            return run_jnp(state)
+        p = perm
+        if p is None:
+            if force or supports_shape(shape):
+                return fused_body(state)
+            p = axis_perm_for_shape(shape)
+            if p is None:
+                return run_jnp(state)
+        if p == (0, 1, 2):
+            return fused_body(state)
+        # run in the permuted lattice frame (see axis_perm_for_shape)
+        idx = _pop_perm(p)
+        pinv = _inverse_perm(p)
+        idx_inv = _pop_perm(pinv)
+        sp = SimState(f=_permute_pops(state.f, p, idx),
+                      g=_permute_pops(state.g, p, idx),
+                      key=state.key, step=state.step)
+        out = fused_body(sp)
+        return SimState(f=_permute_pops(out.f, pinv, idx_inv),
+                        g=_permute_pops(out.g, pinv, idx_inv),
+                        key=out.key, step=out.step)
 
     return jax.jit(run, donate_argnums=0)

@@ -109,6 +109,41 @@ def fit_droplet(rho: np.ndarray, com=None) -> Dict[str, float]:
             "rho_lo": float(rho_lo), "rho_hi": float(rho_hi)}
 
 
+def fit_droplet_allcells(rho: np.ndarray, com=None) -> Dict[str, float]:
+    """The reference's pinned-radius fit (Surface_Tension.ipynb cell 8):
+    least squares of rho over ALL cells vs distance from the COM (no
+    radial binning — the per-cell weighting emphasizes the r^2-heavier
+    tail, unlike :func:`fit_droplet`'s binned profile), model
+
+        rho(r) = rho_hi - (rho_hi - rho_lo)/2 (1 + tanh((r - R)/W)),
+
+    in box units ([0,1]^3, cell centers (i+1/2)/n), COM = plain
+    density-weighted mean (no minimum image), p0 = [max, min, 0.5, 0.5].
+    Returns dict(R, W, rho_hi, rho_lo) with R, W in units of L — the
+    convention of the pinned values [0.1760534, ...] (cell 9).
+    """
+    from scipy.optimize import curve_fit
+
+    shape = np.asarray(rho.shape)
+    coords = [(np.arange(n) + 0.5) / n for n in shape]
+    x, y, z = np.meshgrid(*coords, indexing="ij")
+    if com is None:
+        mass = rho.sum()
+        com = np.array([float((rho * c).sum() / mass) for c in (x, y, z)])
+    r = np.sqrt((x - com[0]) ** 2 + (y - com[1]) ** 2 + (z - com[2]) ** 2)
+
+    def model(rv, hi, lo, radius, w):
+        return hi - 0.5 * (hi - lo) * (
+            1.0 + np.tanh(np.clip((rv - radius) / w, -25, 25)))
+
+    v = np.asarray(rho, float).ravel()
+    popt, _ = curve_fit(model, r.ravel(), v,
+                        p0=[v.max(), v.min(), 0.5, 0.5], maxfev=20000)
+    hi, lo, radius, w = popt
+    return {"R": float(radius), "W": float(abs(w)),
+            "rho_hi": float(hi), "rho_lo": float(lo)}
+
+
 def laplace_delta_p(rho: np.ndarray, phi: np.ndarray, alpha0: float,
                     com=None) -> float:
     """Pressure jump P_in - P_out with P = rho_t cs^2 + G cs^2 rho phi,

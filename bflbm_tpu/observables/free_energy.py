@@ -43,10 +43,8 @@ def binodal_densities(rho_t: float, g: float) -> Tuple[float, float]:
     def dfb(r):
         return np.log(r / (rho_t - r)) + g * (rho_t - 2.0 * r)
 
-    mid = rho_t / 2.0
-    # spinodal points bracket the unstable region: dfb'(r) = 0
-    # 1/r + 1/(rho_t - r) - 2 g = 0
-    disc = 1.0 - 2.0 * rho_t / (g * rho_t ** 2 / 2.0) if False else None
+    # spinodal points bracket the unstable region: dfb'(r) = 0, i.e.
+    # 1/r + 1/(rho_t - r) - 2 g = 0;
     # solve quadratic 2 g r (rho_t - r) = rho_t for the spinodal
     a, b, c = 2.0 * g, -2.0 * g * rho_t, rho_t
     d = b * b - 4 * a * c

@@ -18,13 +18,17 @@ from typing import Tuple
 import numpy as np
 
 
-def interface_height(rho: np.ndarray, level: float,
-                     upper: bool = True) -> np.ndarray:
+def interface_height(rho: np.ndarray, level: float, upper: bool = True,
+                     strict: bool = False) -> np.ndarray:
     """Height h(x, y) of the rho = level crossing along z.
 
     upper=True picks the crossing where rho decreases through `level`
     with z (the top interface of a stripe); False the increasing one.
     Heights are in cells, measured from z=0.
+
+    Columns with no crossing (overhangs / detached bubbles — the
+    reference's contour extraction walks around these) degrade to NaN
+    per column (use :func:`fill_missing`); strict=True raises instead.
     """
     X, Y, Z = rho.shape
     s = rho - level
@@ -36,13 +40,45 @@ def interface_height(rho: np.ndarray, level: float,
     idx = np.where(pick, np.arange(Z - 1)[None, None, :], -1)
     k = idx.max(axis=2) if upper else np.where(
         pick.any(axis=2), np.argmax(pick, axis=2), -1)
-    if (k < 0).any():
+    missing = k < 0
+    if missing.any() and strict:
         raise ValueError("no interface crossing found in some column")
+    kc = np.maximum(k, 0)
     ii, jj = np.meshgrid(np.arange(X), np.arange(Y), indexing="ij")
-    s0 = s[ii, jj, k]
-    s1 = s[ii, jj, k + 1]
-    frac = s0 / (s0 - s1)
-    return k + frac
+    s0 = s[ii, jj, kc]
+    s1 = s[ii, jj, kc + 1]
+    den = s0 - s1
+    frac = np.where(den != 0, s0 / np.where(den != 0, den, 1.0), 0.5)
+    h = kc + frac
+    return np.where(missing, np.nan, h)
+
+
+def fill_missing(h: np.ndarray, axis: int = 1) -> np.ndarray:
+    """Fill NaN heights by periodic linear interpolation along `axis`
+    (per-column degradation instead of dropping whole frames)."""
+    h = np.asarray(h, float)
+    if not np.isnan(h).any():
+        return h
+    out = np.array(h)
+    it = np.ndindex(*(s for a, s in enumerate(h.shape) if a != axis))
+    for rest in it:
+        sl = list(rest)
+        sl.insert(axis, slice(None))
+        row = out[tuple(sl)]
+        bad = np.isnan(row)
+        if not bad.any():
+            continue
+        n = len(row)
+        if bad.all():
+            raise ValueError("no interface crossing found in an entire row")
+        x = np.arange(n)
+        # periodic interpolation: extend good points by one period each way
+        good = ~bad
+        xg = np.concatenate([x[good] - n, x[good], x[good] + n])
+        vg = np.tile(row[good], 3)
+        row[bad] = np.interp(x[bad], xg, vg)
+        out[tuple(sl)] = row
+    return out
 
 
 def capillary_spectrum(heights: np.ndarray, axis: int = 1):

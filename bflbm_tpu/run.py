@@ -94,24 +94,49 @@ def run(cfg: RunConfig, *, mesh=None, engine: str = "auto",
     for v in events[1:]:
         chunk = math.gcd(chunk, v)
     chunk = max(1, min(chunk, cfg.nsteps))
+    if events and chunk < min(events) and chunk < cfg.nsteps:
+        import warnings
+
+        warnings.warn(
+            f"event cadences {events} have gcd {chunk}: the run advances "
+            f"only {chunk} step(s) per chunk and pays the chunk entry/exit "
+            "overhead every time — make the cadences multiples of a common "
+            "base for TPU throughput", stacklevel=2)
     run_chunk = None
+    is_pallas = False
     if cfg.use_ref_state:
+        if engine not in ("auto", "jnp"):
+            raise ValueError(
+                f"engine {engine!r} unavailable: USE_REF_STATE threads the "
+                "equilibrium state through every step (jnp engine only)")
         engine = "jnp"  # chunk engines do not thread the ref state
     if chunk > 2 and engine != "jnp":
         if engine in ("auto", "pallas"):
             from .kernels import fused_step
 
-            if (fused_step.supports_shape(cfg.shape)
+            if (fused_step.supports(cfg.shape)
                     and p.alpha1 == 0.0
                     and jax.devices()[0].platform == "tpu"):
                 run_chunk = fused_step.make_nsteps(p, chunk)
+                is_pallas = True
         if run_chunk is None and engine == "halo" and mesh is not None:
             from .parallel import halo as halo_par
 
             run_chunk = halo_par.make_halo_nsteps(mesh, p, chunk)
-        if run_chunk is None and engine != "auto":
-            raise ValueError(
-                f"engine {engine!r} unavailable for this configuration")
+    if run_chunk is None and engine not in ("auto", "jnp"):
+        raise ValueError(
+            f"engine {engine!r} unavailable for this configuration"
+            + (f" (event cadences collapse chunks to {chunk} step(s); "
+               "chunk engines need chunk > 2)" if chunk <= 2 else ""))
+    if is_pallas and cfg.out_noise_int > 0:
+        import warnings
+
+        warnings.warn(
+            "noise dumps under the Pallas engine describe a fresh threefry "
+            "stream derived from the state key, NOT the hardware-PRNG draws "
+            "the trajectory actually consumed (statistically identical; do "
+            "not cross-check dumped noise against this trajectory "
+            "frame-by-frame)", stacklevel=2)
     if run_chunk is None and chunk > 1:
         def _scan_chunk(s):
             def body(st, _):
@@ -138,6 +163,7 @@ def run(cfg: RunConfig, *, mesh=None, engine: str = "auto",
     # equilibrium-state trailing average (deterministic runs)
     eq_accum = None
     eq_count = 0
+    eq_paths = []  # frame files in the window, for the convergence report
     eq_start = cfg.step_continue + cfg.nsteps - cfg.t_window
 
     t0 = time.perf_counter()
@@ -172,13 +198,14 @@ def run(cfg: RunConfig, *, mesh=None, engine: str = "auto",
                                          sf_lib.REFERENCE_PAIRS)
 
         if cfg.plot_int > 0 and step_i % cfg.plot_int == 0:
-            fields_io.write_frame(cfg.out_dir, step_i, packed)
+            path = fields_io.write_frame(cfg.out_dir, step_i, packed)
             if on_frame:
                 on_frame(step_i, packed)
             if not p.noise_on and cfg.t_window > 0 and step_i >= eq_start:
                 arr = np.asarray(packed)
                 eq_accum = arr if eq_accum is None else eq_accum + arr
                 eq_count += 1
+                eq_paths.append(path)
 
         if cfg.print_int > 0 and step_i % cfg.print_int == 0:
             rho = packed[0]
@@ -210,6 +237,19 @@ def run(cfg: RunConfig, *, mesh=None, engine: str = "auto",
         ckpt.save_equilibrium(
             os.path.join(cfg.out_dir, "equilibrium"),
             mean[0], mean[1], mean[5])
+        # PrintConvergence analog (Debug.H:276-358): deviation field
+        # (1/N) sum_t |rho_t - rho_mean| over the trailing window, reported
+        # as ||.||_1 (cell mean) and ||.||_inf (cell max) norms.
+        dev = np.zeros_like(mean[0])
+        for path in eq_paths:
+            dev += np.abs(fields_io.read_frame(path)["rho"] - mean[0])
+        dev /= len(eq_paths)
+        conv = {"rho_dev_l1": float(dev.mean()),
+                "rho_dev_linf": float(dev.max()),
+                "window_frames": len(eq_paths)}
+        with open(os.path.join(cfg.out_dir, "convergence.json"), "w") as fh:
+            json.dump(conv, fh)
+        metrics.log(last, **conv)
     metrics.close()
     return state
 
