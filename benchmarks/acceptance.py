@@ -122,6 +122,81 @@ def phase_c(args):
             "rel_dev": round(abs(gamma / 0.012162 - 1), 4), **per_mode}
 
 
+def _capillary_one(out_eq, out_dir, steps, seed, reseed):
+    """One interface-fluct run; heights collected in-memory (no disk
+    frames), reference spectrum conventions (Flat_Interface.ipynb
+    cells 7-9: single x-slice, backward-norm FFT, mean-profile
+    subtraction).  Returns (gamma, per-mode dict, wall_s)."""
+    from bflbm_tpu.config import preset
+    from bflbm_tpu import run as run_mod
+    from bflbm_tpu.observables import interface as iface
+
+    heights = []
+    level = 0.5 * (0.1 + 3.0)
+
+    def on_frame(step_i, packed):
+        # pull only the x=4 slice the reference's single-slice
+        # convention consumes (tunnel transfers are the bottleneck)
+        rho_slice = np.asarray(packed[0][4])[None, :, :]
+        h = iface.fill_missing(iface.interface_height(rho_slice, level))
+        heights.append((step_i, np.array(h[0, :])))
+
+    cfg = preset("interface-fluct").replace(
+        nsteps=steps, step_continue=3000,
+        checkpoint_path=f"{out_eq}/checkpoint0003000",
+        plot_int=500, plot_save=False, print_int=steps // 4,
+        seed=seed, reseed=reseed, out_dir=out_dir)
+    t0 = time.time()
+    run_mod.run(cfg, on_frame=on_frame)
+    wall = time.time() - t0
+    cut = 3000 + steps // 2  # discard the noise-equilibration transient
+    hs = np.asarray([h for s, h in heights if s > cut])
+    k, s = iface.capillary_spectrum_ref(hs)
+    kBT = 1e-5
+    gamma = iface.fit_capillary_gamma_window(k, s, kBT)
+    per_mode = {f"gamma_m{m}": round(float(kBT / (s[m - 1] * k[m - 1] ** 2)),
+                                     6)
+                for m in (1, 2, 3, 5, 8)}
+    return gamma, per_mode, wall, len(hs)
+
+
+def phase_c_ens(args):
+    """Independent-seed ensemble of full 800k-step capillary runs (the
+    <1% gamma certification: mean +- stderr over independent
+    trajectories branching from the shared deterministic
+    equilibration)."""
+    from bflbm_tpu.config import preset
+    from bflbm_tpu import run as run_mod
+
+    out_eq = f"{args.out}/interface-eq"
+    if not os.path.exists(os.path.join(out_eq, "checkpoint0003000.npz")):
+        cfg0 = preset("interface-eq").replace(out_dir=out_eq, plot_int=0)
+        run_mod.run(cfg0)
+
+    steps = args.steps or 800_000
+    n_runs = args.n_runs
+    gammas, runs = [], []
+    for i in range(n_runs):
+        seed = 20_000 + 7919 * i
+        g, per_mode, wall, n_frames = _capillary_one(
+            out_eq, f"{args.out}/interface-ens-{i}", steps, seed,
+            reseed=True)
+        gammas.append(g)
+        runs.append({"seed": seed, "gamma": round(g, 6), **per_mode,
+                     "wall_s": round(wall, 1), "n_frames": n_frames})
+        print(json.dumps({"ens_run": i, **runs[-1]}), flush=True)
+    gam = np.asarray(gammas)
+    mean = float(gam.mean())
+    stderr = float(gam.std(ddof=1) / np.sqrt(len(gam))) if len(gam) > 1 \
+        else float("nan")
+    return {"phase": "C-ens", "steps": steps, "n_runs": n_runs,
+            "runs": runs, "gamma_mean": round(mean, 6),
+            "gamma_stderr": round(stderr, 6),
+            "gamma_ref": 0.012162,
+            "rel_dev": round(abs(mean / 0.012162 - 1), 4),
+            "rel_stderr": round(stderr / 0.012162, 4)}
+
+
 def phase_d(args):
     from bflbm_tpu.config import preset
     from bflbm_tpu import run as run_mod
@@ -141,8 +216,14 @@ def phase_d(args):
         phi = np.asarray(state.g.sum(axis=0))
         com = drop_obs.center_of_mass(rho - rho[0, 0, 0])
         fit = drop_obs.fit_droplet(rho, com)
+        # the reference's pinned-value convention: unbinned all-cells
+        # curve_fit (Surface_Tension.ipynb cell 8) — the per-cell
+        # weighting differs from the binned radial-profile fit above
+        fit_ref = drop_obs.fit_droplet_allcells(rho)
         dp = drop_obs.laplace_delta_p(rho, phi, 1.5, com)
-        results.append({"init_r": r, "R_over_L": round(fit["R"] / 32, 6),
+        results.append({"init_r": r,
+                        "R_over_L": round(fit_ref["R"], 6),
+                        "R_over_L_binned": round(fit["R"] / 32, 6),
                         "delta_p": round(dp, 6)})
     gamma, icpt = drop_obs.surface_tension_laplace(
         [32 * x["R_over_L"] for x in results],
@@ -163,13 +244,219 @@ def phase_d(args):
             "radius_max_rel_dev": round(max(devs), 5)}
 
 
+_SWEEPS = {
+    # alpha0 -> (preset, radii, reference saved slope or None)
+    # Surface_Tension.ipynb cells 18-28.  The reference's own saved
+    # outputs for alpha0=0.8 and 2.5 have NEGATIVE Laplace slopes
+    # (radii 0.36-0.42 of the box: droplets interact with their
+    # periodic images, DeltaP no longer ~ 1/R) — recorded here as-is.
+    1.7: ("droplet-a1.7-eq", [0.20, 0.23, 0.25, 0.28], 0.026914662086),
+    2.0: ("droplet-a2.5-eq", [0.20, 0.23, 0.25, 0.28], None),  # see below
+    0.8: ("droplet-a0.8-eq", [0.38, 0.40, 0.42], -0.00248879718),
+    2.5: ("droplet-a2.5-eq", [0.36, 0.38, 0.40, 0.42],
+          -0.0007536467744),
+}
+
+
+def phase_d_sweep(args):
+    """Laplace-law sweeps for the alpha0 variants (Surface_Tension
+    cells 18-28).  --alpha0 selects the family."""
+    from bflbm_tpu.config import preset
+    from bflbm_tpu import run as run_mod
+    from bflbm_tpu.observables import droplet as drop_obs
+
+    import dataclasses
+
+    a0 = args.alpha0
+    if a0 == 2.0:
+        # cell 21: alpha0=2.0 with the rho_hi=3 recipe
+        base = preset("droplet-a1.7-eq")
+        base = base.replace(
+            params=dataclasses.replace(base.params, alpha0=2.0))
+        radii, ref_slope = [0.20, 0.23, 0.25, 0.28], None
+    else:
+        name, radii, ref_slope = _SWEEPS[a0]
+        base = preset(name)
+        if a0 == 2.5:
+            base = base.replace(
+                params=dataclasses.replace(base.params, alpha0=2.5))
+    steps = args.steps or 20_000
+    results = []
+    for r in radii:
+        cfg = base.replace(nsteps=steps, init_radius=r, plot_int=0,
+                           t_window=0,
+                           out_dir=f"{args.out}/droplet-a{a0}-r{r:.2f}")
+        state = run_mod.run(cfg)
+        rho = np.asarray(state.f.sum(axis=0))
+        phi = np.asarray(state.g.sum(axis=0))
+        com = drop_obs.center_of_mass(rho - rho[0, 0, 0])
+        fit_ref = drop_obs.fit_droplet_allcells(rho)
+        dp = drop_obs.laplace_delta_p(rho, phi, a0, com)
+        results.append({"init_r": r, "R_over_L": round(fit_ref["R"], 6),
+                        "delta_p": round(dp, 6)})
+    # the reference's fit: DeltaP vs 1/(R/L), quoted slope
+    inv_r = np.array([1.0 / x["R_over_L"] for x in results])
+    dps = np.array([x["delta_p"] for x in results])
+    slope, icpt = np.polyfit(inv_r, dps, 1)
+    out = {"phase": f"D-sweep-a{a0}", "steps": steps, "runs": results,
+           "slope": round(float(slope), 8),
+           "intercept": round(float(icpt), 8),
+           "gamma_quoted": round(float(slope) / 2.0, 8)}
+    if ref_slope is not None:
+        out["slope_reference_saved"] = ref_slope
+        out["slope_rel_dev"] = round(abs(slope / ref_slope - 1), 4)
+    return out
+
+
+def phase_e(args):
+    """Droplet Brownian MSD / Stokes-Einstein (xdg_msd_calc.ipynb; the
+    notebook's saved output on its own data: Dse=9.2952e-07,
+    Db=9.6660e-07, diff 3.99%).  Protocol: 64^3, alpha0=4, rho_hi=1,
+    r=0.2 droplet; 20k deterministic equilibration -> fluctuating
+    kBT=5e-5 continuation; COM of the threshold-filtered density per
+    frame (img_filter rho>0.06), MSD over a 100-frame lag window,
+    D = slope/6 vs stokes_einstein(R, L, eta=rho0/6, kT, alpha=1)."""
+    from bflbm_tpu.config import preset
+    from bflbm_tpu import run as run_mod
+    from bflbm_tpu.observables import msd as msd_obs
+
+    out_eq = f"{args.out}/droplet-msd-eq"
+    if not os.path.exists(os.path.join(out_eq, "checkpoint0020000.npz")):
+        cfg0 = preset("droplet-msd-eq").replace(out_dir=out_eq)
+        run_mod.run(cfg0)
+
+    steps = args.steps or 1_000_000
+    rows = []  # (step, R_mass, com_xyz)
+
+    # device-side per-frame reduction (a full 64^3 hydro pull per frame
+    # would saturate the tunnel): COM + mass-radius of the filtered
+    # density, exactly the notebook's img_filter/droplet_radius_mass
+    import jax
+    import jax.numpy as jnp
+
+    shape64 = (64, 64, 64)
+    grids = jnp.meshgrid(*[jnp.arange(n, dtype=jnp.float32) - n / 2 + 0.5
+                           for n in shape64], indexing="ij")
+
+    @jax.jit
+    def reduce_frame(rho):
+        filt = jnp.where(rho > 0.06, rho, 0.0)
+        mass = jnp.sum(filt)
+        com = jnp.stack([jnp.sum(filt * g) for g in grids]) / mass
+        rho_d = filt[32, 32, 32]
+        rho_m = filt[0, 0, 0]
+        excess = jnp.sum(filt - rho_m)
+        r = (3.0 / (4.0 * jnp.pi) * excess
+             / (rho_d - rho_m)) ** (1.0 / 3.0)
+        return jnp.concatenate([r[None], com])
+
+    def on_frame(step_i, packed):
+        out = np.asarray(reduce_frame(packed[0]))
+        rows.append((step_i, out[0], out[1], out[2], out[3]))
+
+    cfg = preset("droplet-msd-fluct").replace(
+        nsteps=steps, checkpoint_path=f"{out_eq}/checkpoint0020000",
+        plot_save=False, print_int=steps // 10,
+        out_dir=f"{args.out}/droplet-msd-fluct")
+    t0 = time.time()
+    run_mod.run(cfg, on_frame=on_frame)
+    wall = time.time() - t0
+
+    arr = np.asarray(rows[1:])  # drop frame 0 like the notebook
+    np.save(os.path.join(cfg.out_dir, "msd_rows.npy"), arr)
+    steps_f, r_mass, coms = arr[:, 0], arr[:, 1], arr[:, 2:5]
+    traj = msd_obs.unwrap_periodic(coms, cfg.shape)
+    tau = 100  # frame lags (the notebook's tau)
+    ts, m = msd_obs.msd(steps_f, traj, tau)
+    d_fit = float(np.polyfit(ts, m, 1)[0] / 6.0)
+    R = float(r_mass.mean())
+    eta = 1.0 * (1.0 / 3.0) * (1.0 - 0.5)  # rho0 cs2 (tau_r - 1/2)
+    d_se = msd_obs.stokes_einstein(R, float(min(cfg.shape)), eta, 5e-5)
+    # physical units (system_unit.ipynb cell 0)
+    dx, dt = 1.613e-9, 0.250e-12
+    d_fit_st = d_fit * dx * dx / dt * 1e4  # m^2/s -> St (cm^2/s)
+    return {"phase": "E-msd", "steps": steps, "wall_s": round(wall, 1),
+            "n_frames": len(arr), "R_mass_mean": round(R, 4),
+            "D_fit": d_fit, "D_se": d_se,
+            "rel_diff": round((d_fit - d_se) / d_se, 4),
+            "reference_saved": {"Dse": 9.2952e-07, "Db": 9.6660e-07,
+                                "diff_pct": 3.99},
+            "D_fit_stokes": d_fit_st}
+
+
+def phase_f(args):
+    """Droplet shape-fluctuation surface tensions
+    (Droplet_Fluctuation.ipynb): principal-axis equipartition
+    gamma_(2,0), gamma_(2,+-2) (cells 24-25) and the spherical-harmonic
+    zeta_20 equipartition 2 gamma <zeta_20^2> = kBT/2 (cells 35, 39),
+    vs gamma_theory = 0.01216 at alpha0 = 1.5."""
+    from bflbm_tpu.config import preset
+    from bflbm_tpu import run as run_mod
+    from bflbm_tpu.observables import droplet as drop_obs
+
+    out_eq = f"{args.out}/droplet-r0.20"  # phase D's alpha0=1.5 r=0.2 run
+    if not os.path.exists(os.path.join(out_eq, "checkpoint0020000.npz")):
+        cfg0 = preset("droplet-eq").replace(nsteps=20_000, plot_int=0,
+                                            init_radius=0.2,
+                                            out_dir=out_eq)
+        run_mod.run(cfg0)
+
+    steps = args.steps or 600_000
+    frames = []
+
+    def on_frame(step_i, packed):
+        frames.append(np.asarray(packed[0]))  # 32^3 rho, 131 KB
+
+    cfg = preset("droplet-fluct").replace(
+        nsteps=steps, checkpoint_path=f"{out_eq}/checkpoint0020000",
+        plot_int=500, plot_save=False, print_int=steps // 10,
+        out_dir=f"{args.out}/droplet-shapefluct")
+    t0 = time.time()
+    run_mod.run(cfg, on_frame=on_frame)
+    wall = time.time() - t0
+
+    kBT = 1e-5
+    skip = len(frames) // 4  # noise-equilibration transient
+    axes, zetas = [], []
+    for rho in frames[skip:]:
+        com = drop_obs.center_of_mass(rho - rho[0, 0, 0])
+        fit_r = drop_obs.radius_from_mass(rho)
+        axes.append(drop_obs.principal_radii(rho, com, fit_r))
+        level = 0.5 * (rho.min() + rho.max())
+        rmap = drop_obs.surface_radius_map(rho, com, level)
+        amps = drop_obs.spherical_harmonic_amplitudes(rmap, lmax=2)
+        zetas.append(amps[(2, 0)].real)
+    gpair = drop_obs.shape_fluctuation_gamma(np.asarray(axes), kBT)
+    z = np.asarray(zetas)
+    g_zeta = drop_obs.zeta_equipartition_gamma(z, kBT)
+    gamma_th = 0.01216
+    np.savez(os.path.join(cfg.out_dir, "shapefluct.npz"),
+             axes=np.asarray(axes), zeta20=z)
+    return {"phase": "F-shapefluct", "steps": steps,
+            "wall_s": round(wall, 1), "n_frames": len(frames) - skip,
+            "gamma_20_axes": round(gpair["gamma_20"], 6),
+            "gamma_22_axes": round(gpair["gamma_22"], 6),
+            # cell 39's check: 2 gamma_theory <zeta_20^2> vs kBT/2
+            "equipartition_lhs": float(2 * gamma_th * np.mean(z ** 2)),
+            "equipartition_rhs": kBT / 2,
+            "gamma_zeta20": round(g_zeta, 6),
+            "gamma_theory": gamma_th,
+            "rel_dev_zeta": round(abs(g_zeta / gamma_th - 1), 4),
+            "zeta20_mean": float(z.mean()), "zeta20_rms": float(
+                np.sqrt(np.mean(z ** 2)))}
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("phase", choices=["a", "b", "c", "d"])
+    ap.add_argument("phase", choices=["a", "b", "c", "c-ens", "d", "d-sweep", "e", "f"])
     ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--n-runs", type=int, default=8)
+    ap.add_argument("--alpha0", type=float, default=1.7)
     ap.add_argument("--out", default="out/acceptance")
     args = ap.parse_args()
-    fn = {"a": phase_a, "b": phase_b, "c": phase_c, "d": phase_d}
+    fn = {"a": phase_a, "b": phase_b, "c": phase_c, "c-ens": phase_c_ens,
+          "d": phase_d, "d-sweep": phase_d_sweep, "e": phase_e,
+          "f": phase_f}
     print(json.dumps(fn[args.phase](args)), flush=True)
 
 

@@ -1,0 +1,246 @@
+#!/usr/bin/env python
+"""Asserting hardware regression suite for the fused Pallas kernel.
+
+Runs on the real TPU (NOT interpret mode) and FAILS loudly on any
+regression the CPU suite cannot see: the multi-tile sweep-load DMA
+pipeline, temporal-blocking seam consistency, the hardware-PRNG and
+hash noise statistics, and the ext-mode (shard_map) kernel.  Prints a
+JSON summary and writes it to benchmarks/results/tpu_verify.json
+(committed as the regression artifact).
+
+Usage:  python benchmarks/tpu_verify.py [--fast]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bflbm_tpu.config import LBMParams
+from bflbm_tpu.kernels import fused_step
+from bflbm_tpu.lattice import B, CS2, M, Q
+from bflbm_tpu.models import binary_fluid as model
+from bflbm_tpu.utils.timing import fetch_scalar
+
+RESULTS = {}
+T0 = time.time()
+
+
+def log(name, **kw):
+    kw = {k: (float(v) if isinstance(v, (np.floating, np.integer)) else v)
+          for k, v in kw.items()}
+    RESULTS[name] = kw
+    print("[%6.1fs] %s: %s" % (time.time() - T0, name, kw), flush=True)
+
+
+def check(cond, name, **kw):
+    log(name, ok=bool(cond), **kw)
+    assert cond, (name, kw)
+
+
+def parity_deterministic(block):
+    """Multi-tile kernel (incl. sweep loads + temporal blocking) vs jnp
+    at kBT=0 with full coupling."""
+    params = LBMParams(alpha0=1.5, kBT=0.0, kappa=0.1,
+                       rho_lo=0.1, rho_hi=3.0)
+    shape = (32, 32, 128)
+    state = model.init_droplet(shape, params, dtype=jnp.float32,
+                               radius=0.25)
+    n = 5
+    stepj = jax.jit(lambda s: model.step(s, params)[0])
+    ref = state
+    for _ in range(n):
+        ref = stepj(ref)
+    fetch_scalar(ref)
+    got = fused_step.make_nsteps(params, n, block=block)(state)
+    fetch_scalar(got)
+    df = float(jnp.max(jnp.abs(got.f - ref.f)))
+    dg = float(jnp.max(jnp.abs(got.g - ref.g)))
+    check(df < 3e-5 and dg < 3e-5, f"parity_kBT0_block{block}",
+          max_df=df, max_dg=dg)
+
+
+def tiling_invariance():
+    """With hash noise the fluctuating trajectory is independent of the
+    kernel tiling — the seam-consistency guarantee of temporal blocking."""
+    params = LBMParams(alpha0=1.5, kBT=1e-5, kappa=0.1,
+                       rho_lo=0.1, rho_hi=3.0)
+    shape = (32, 32, 128)
+    state = model.init_droplet(shape, params, dtype=jnp.float32,
+                               radius=0.25)
+    n = 9  # 8 K-steps = 4 blocked sweeps
+    from bflbm_tpu.state import SimState
+
+    def copy(s):  # make_nsteps donates its argument (whole pytree)
+        return SimState(f=jnp.array(s.f), g=jnp.array(s.g),
+                        key=jnp.array(s.key), step=jnp.array(s.step))
+
+    a = fused_step.make_nsteps(params, n, block=2, tile=(8, 16),
+                               noise_impl="hash")(copy(state))
+    b = fused_step.make_nsteps(params, n, block=2, tile=(16, 8),
+                               noise_impl="hash")(copy(state))
+    fetch_scalar(a), fetch_scalar(b)
+    fa, fb = np.asarray(a.f), np.asarray(b.f)
+    d = float(np.max(np.abs(fa - fb)))
+    scale = float(np.max(np.abs(fa)))
+    dm = abs(fa.sum() - fb.sum()) / abs(fa.sum())
+    check(d < 1e-4 * scale + 1e-6 and dm < 1e-6, "tiling_invariance",
+          max_df=d, mass_rel=dm)
+
+
+def noise_statistics(noise_impl):
+    """Per-mode injected-noise variance ratios vs the FDT amplitudes
+    (NoiseCovariance.ipynb cell 3 analog for the in-kernel streams).
+
+    From a uniform rest state the streamed moments equal the input
+    moments, relaxation and forcing vanish, so one K-step injects
+    exactly xi: m(out) - m(in) = xi_a per cell.
+    """
+    rho0, phi0 = 1.0, 1.0
+    params = LBMParams(alpha0=0.0, kBT=1e-5)
+    shape = (32, 32, 128)
+    state = model.init_mixture(shape, params, dtype=jnp.float32)
+    seed = jnp.array([987654321, 3], jnp.int32)
+    fo, go = fused_step._fused_step_call(
+        params, shape, (8, 16), True, seed, state.f, state.g,
+        block=1, noise_impl=noise_impl)
+    fetch_scalar(fo)
+    mm = np.asarray(M, np.float64)
+    dmf = np.einsum("ki,ixyz->kxyz", mm,
+                    np.asarray(fo, np.float64) - np.asarray(state.f))
+    dmg = np.einsum("ki,ixyz->kxyz", mm,
+                    np.asarray(go, np.float64) - np.asarray(state.g))
+    lam = params.lam_f
+    pref = 2.0 * (lam - 0.5 * lam * lam) * params.kBT
+    ratios = {}
+    worst = 0.0
+    for a in range(1, Q):
+        if a < 4:
+            var_th = pref * rho0 * phi0 / (rho0 + phi0)
+        else:
+            var_th = pref / CS2 * float(B[a]) * rho0
+        rf = float(dmf[a].var() / var_th)
+        rg = float(dmg[a].var() / var_th)
+        ratios[a] = (round(rf, 4), round(rg, 4))
+        worst = max(worst, abs(rf - 1), abs(rg - 1))
+    # momentum anti-correlation between species (LBM_binary.H:117-118)
+    cc = float(np.corrcoef(dmf[1].ravel(), dmg[1].ravel())[0, 1])
+    check(worst < 0.03 and cc < -0.999,
+          f"noise_variance_{noise_impl}", worst_dev=round(worst, 4),
+          mom_anticorr=round(cc, 5))
+
+
+def conservation():
+    """Mass conservation through 100 noisy blocked steps (momentum-mode
+    noise is anti-correlated; mass-mode noise is zero)."""
+    params = LBMParams(alpha0=1.5, kBT=1e-5, kappa=0.1,
+                       rho_lo=0.1, rho_hi=3.0)
+    shape = (32, 32, 128)
+    state = model.init_droplet(shape, params, dtype=jnp.float32,
+                               radius=0.25)
+    m0 = float(jnp.sum(state.f)) + float(jnp.sum(state.g))
+    out = fused_step.make_nsteps(params, 101, block=2)(state)
+    fetch_scalar(out)
+    m1 = float(jnp.sum(out.f)) + float(jnp.sum(out.g))
+    drift = abs(m1 - m0) / m0
+    check(drift < 2e-6, "mass_conservation_100steps", rel_drift=drift)
+
+
+def ext_mode_parity():
+    """shard_map ext-mode kernel (1-device mesh: ppermute degenerates to
+    the local periodic wrap) vs jnp at kBT=0 — compiles and validates
+    the ext DMA layout on real hardware."""
+    from bflbm_tpu.parallel import kernel as kernel_par
+    from bflbm_tpu.parallel import mesh as mesh_lib
+
+    params = LBMParams(alpha0=1.5, kBT=0.0, kappa=0.1,
+                       rho_lo=0.1, rho_hi=3.0)
+    shape = (32, 32, 128)
+    state = model.init_droplet(shape, params, dtype=jnp.float32,
+                               radius=0.25)
+    n = 5
+    stepj = jax.jit(lambda s: model.step(s, params)[0])
+    ref = state
+    for _ in range(n):
+        ref = stepj(ref)
+    fetch_scalar(ref)
+    mesh = mesh_lib.make_mesh((1, 1, 1), jax.devices()[:1])
+    run = kernel_par.make_kernel_nsteps(mesh, params, n, block=2,
+                                        donate=False)
+    got = run(state)
+    fetch_scalar(got)
+    df = float(jnp.max(jnp.abs(got.f - ref.f)))
+    check(df < 3e-5, "ext_mode_parity_kBT0", max_df=df)
+
+
+def throughput(fast):
+    """MLUPS for block 1 vs 2, fluctuating + deterministic + coupled."""
+    shape = (256, 256, 256)
+    cells = float(np.prod(shape))
+    n = 50
+    cases = [("fluct", dict(alpha0=0.0, kBT=1e-5), {}),
+             ("fluct_b2", dict(alpha0=0.0, kBT=1e-5), dict(block=2)),
+             ("coupled", dict(alpha0=1.5, kBT=1e-5), {}),
+             ("determ", dict(alpha0=0.0, kBT=0.0), {})]
+    if fast:
+        cases = cases[:2]
+    for name, pkw, nkw in cases:
+        params = LBMParams(**pkw)
+        st = model.init_mixture(shape, params, dtype=jnp.float32)
+        run = fused_step.make_nsteps(params, n, **nkw)
+        st = run(st)
+        fetch_scalar(st)  # compile + warm
+        tt = time.time()
+        reps = 2
+        for _ in range(reps):
+            st = run(st)
+            fetch_scalar(st)
+        dt = (time.time() - tt) / reps
+        log(f"mlups_{name}", mlups=round(cells * n / dt / 1e6, 1),
+            ms_per_step=round(dt / n * 1000, 3))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fast", action="store_true")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated section names")
+    args = ap.parse_args()
+    sections = {
+        "parity1": lambda: parity_deterministic(1),
+        "parity2": lambda: parity_deterministic(2),
+        "tiling": tiling_invariance,
+        "noise_hw": lambda: noise_statistics("hw"),
+        "noise_hash": lambda: noise_statistics("hash"),
+        "conservation": conservation,
+        "ext": ext_mode_parity,
+        "throughput": lambda: throughput(args.fast),
+    }
+    names = args.only.split(",") if args.only else list(sections)
+    failed = []
+    for name in names:
+        try:
+            sections[name]()
+        except AssertionError as e:
+            failed.append(name)
+            print(f"FAILED {name}: {e}", flush=True)
+        except Exception as e:  # noqa: BLE001
+            failed.append(name)
+            print(f"ERROR {name}: {type(e).__name__}: {e}", flush=True)
+    outdir = os.path.join(os.path.dirname(__file__), "results")
+    os.makedirs(outdir, exist_ok=True)
+    RESULTS["failed"] = failed
+    with open(os.path.join(outdir, "tpu_verify.json"), "w") as fh:
+        json.dump(RESULTS, fh, indent=1)
+    print(json.dumps({"failed": failed}))
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -91,6 +91,8 @@ class RunConfig:
     nsteps: int = 500
     step_continue: int = 0
     plot_int: int = 0          # output hydro fields every N steps (0 = off)
+    plot_save: bool = True     # False: plot_int drives on_frame callbacks
+    #                            only (in-memory analysis, no disk frames)
     print_int: int = 0         # log scalar diagnostics every N steps
     sf_window: int = 0         # trailing window (steps) for structure factors
     sf_every: int = 100        # accumulate S(k) every N steps inside window
@@ -104,6 +106,8 @@ class RunConfig:
     init_radius: float = 0.2   # droplet radius as fraction of box
     init_frac: float = 0.5     # stripe fraction of box (main_run_job.cpp:33)
     checkpoint_path: Optional[str] = None
+    reseed: bool = False       # checkpoint init: replace the stored RNG
+    #                            key with PRNGKey(seed) (indep ensembles)
 
     def with_params(self, **kw) -> "RunConfig":
         return replace(self, params=replace(self.params, **kw))
@@ -229,6 +233,25 @@ _register(
                          rho_lo=0.0, rho_hi=1.0),
         nsteps=20_000, plot_int=100, t_window=1000,
         init="droplet", init_radius=0.5,
+    ),
+)
+_register(
+    "droplet-msd-eq",  # xdg_msd_calc.ipynb case: 64^3, alpha0=4, r=0.2
+    RunConfig(
+        shape=(64, 64, 64),
+        params=LBMParams(alpha0=4.0, kBT=0.0, kappa=0.001,
+                         rho_lo=0.0, rho_hi=1.0),
+        nsteps=20_000, plot_int=0, init="droplet", init_radius=0.2,
+    ),
+)
+_register(
+    "droplet-msd-fluct",  # xdg_msd_calc.ipynb continue dir (xi=5e-5)
+    RunConfig(
+        shape=(64, 64, 64),
+        params=LBMParams(alpha0=4.0, kBT=5e-5, kappa=0.001,
+                         rho_lo=0.0, rho_hi=1.0),
+        nsteps=1_000_000, step_continue=20_000, plot_int=100,
+        init="checkpoint",
     ),
 )
 _register(

@@ -8,11 +8,20 @@ Pallas kernel performs, per (x, y) tile with the full z extent resident:
       -> densities on a 1-cell-extended tile
       -> 19-point isotropic gradients (Shan-Chen force)
       -> real-velocity reconstruction (friction + noise corrections)
-      -> per-mode thermal noise from the in-kernel hardware PRNG
+      -> per-mode thermal noise (hash counter RNG / hardware PRNG)
       -> MRT collide in moment space (unrolled Duenweg/Schiller basis)
 
-so each step reads f, g once (plus a halo overlap) and writes them once —
-the HBM-bandwidth speed-of-light for this model.
+TEMPORAL BLOCKING: the kernel advances ``block`` (T) steps per sweep.
+Phase s of T updates a region with pad 2*(T-1-s) cells around the
+interior tile (each K = collide o stream consumes a 2-cell halo: 1 for
+streaming + 1 for the gradient stencil), so the HBM traffic per step
+drops to ~1/T of the single-step kernel — the decisive lever on this
+platform, whose Pallas DMA ceiling (233 GB/s) sits below the XLA copy
+rate (CLAUDE.md).  Overlap cells recomputed by adjacent tiles (and by
+periodic wraps) MUST receive identical thermal noise or tile seams break
+conservation, so all non-final phases key every normal draw by
+(word, step, global cell index, draw index) through a counter-based hash
+(:func:`hash_normals`) — bitwise reproducible for any tiling.
 
 State convention: between kernel invocations HBM holds the
 POST-COLLIDE populations.  For a standard (post-stream) ``SimState`` S
@@ -21,21 +30,26 @@ with step = T(stream) after C(collide), n steps factor as
     (T o C)^n = T o (C o T)^(n-1) o C
 
 so :func:`make_nsteps` runs one jnp collide to enter post-collide space,
-n-1 fused kernels (each = C o T), and one jnp stream to exit.
+n-1 fused K = C o T updates (grouped into T-step sweeps), and one jnp
+stream to exit.
 
-Periodic halos: the tile loads a (BX+4, BY+16, Z) block via 9 fixed-size
-DMA fragments per species (3 x-ranges x 3 y-ranges) whose source offsets
-are taken modulo the domain — every fragment is contiguous in-bounds, so
-no dynamic-size DMA is needed.  Mosaic alignment rules force the y
-(sublane) fragments to 8-aligned sizes, hence the physical y pad is 8
-although only 2 halo cells are consumed; z wraps with in-register rolls.
+Periodic halos: the tile loads a (BX+2*2T, BY+16, Z) block via 9
+fixed-size DMA fragments per species (3 x-ranges x 3 y-ranges) whose
+source offsets are taken modulo the domain — every fragment is
+contiguous in-bounds, so no dynamic-size DMA is needed.  Mosaic
+alignment rules force the y (sublane) fragments to 8-aligned sizes,
+hence the physical y pad is 8 although only 2T halo cells are consumed;
+z wraps with in-register rolls.
 
 Noise: amplitudes exactly as ``ops.noise`` (LBM_binary.H:113-127);
-normals are Box-Muller over the TPU hardware PRNG seeded per
-(seed, step, tile).  Statistically identical to the jnp path's threefry
+normals are Box-Muller over either the coordinate-keyed hash stream
+(``noise_impl="hash"``, required for all non-final phases) or the TPU
+hardware PRNG seeded per (seed, step, tile) (``"hw"``, final phase
+only).  Both are statistically identical to the jnp path's threefry
 stream but not bitwise equal (the jnp path remains the decomposition-
 invariant reference; parity tests run at kBT=0 where the paths agree to
-round-off).
+round-off, and the blocked/composed factorization is tested bitwise with
+hash noise).
 """
 
 from __future__ import annotations
@@ -55,8 +69,11 @@ from ..state import SimState
 
 # number of normal draws per cell: 3 momentum + 15 ghost(f) + 15 ghost(g)
 _N_NORMALS = 33
-_PX = 2   # x halo pad (logical halo = 2)
+_NPAIR = (_N_NORMALS + 1) // 2   # Box-Muller pairs (17 -> 34 normals)
 _PY = 8   # y pad: sublane tiling forces 8-aligned DMA fragments
+# draw-counter stride per step in the hash stream (>= 2*_NPAIR, power of
+# two so `step << 6 | draw` is injective for step < 2^25)
+_DRAW_STRIDE = 64
 
 
 def supports_shape(shape: Tuple[int, int, int]) -> bool:
@@ -120,13 +137,16 @@ def _inverse_perm(p):
     return tuple(inv)
 
 
-def _choose_tile(shape: Tuple[int, int, int]) -> Tuple[int, int]:
+def _choose_tile(shape: Tuple[int, int, int],
+                 block: int = 1) -> Tuple[int, int]:
     """Pick (BX, BY) dividing (X, Y); z is always whole.
 
-    The y-sweep load path (see _step_kernel) wants BY == _PY == 8 so the
-    sliding fresh load is a single aligned fragment; BX is then sized to
-    amortize the x halo within the VMEM budget."""
+    The y-sweep load path (see _step_kernel) wants BY a multiple of
+    _PY == 8 so the sliding fresh load is a single aligned fragment; BX
+    is then sized to amortize the 2*block-deep x halo within the VMEM
+    budget."""
     X, Y, Z = shape
+    px = 2 * block
 
     def best(n, target, mult=1):
         divs = [d for d in range(1, n + 1) if n % d == 0 and d % mult == 0]
@@ -139,8 +159,8 @@ def _choose_tile(shape: Tuple[int, int, int]) -> Tuple[int, int]:
     by = 2 * _PY if Y % (2 * _PY) == 0 and Y // (2 * _PY) >= 2 \
         else (_PY if Y % _PY == 0 and Y // _PY >= 2 else best(Y, 32))
     bx = best(X, 8)
-    # Budget: ext block 2*19*(BX+4)*(BY+16)*Z*4 bytes (x2 slots) <= 40 MB
-    while 2 * Q * (bx + 2 * _PX) * (by + 2 * _PY) * Z * 4 > 40 * 2 ** 20 \
+    # Budget: ext block 2*19*(BX+2*px)*(BY+16)*Z*4 bytes (x2 slots) <= 40 MB
+    while 2 * Q * (bx + 2 * px) * (by + 2 * _PY) * Z * 4 > 40 * 2 ** 20 \
             and bx > 1:
         bx = best(X, bx // 2)
         if bx <= 1:
@@ -163,17 +183,432 @@ def _roll_z(arr, shift):
     return pltpu.roll(arr, shift % n, arr.ndim - 1)
 
 
-def _step_kernel(params: LBMParams, shape, bx, by, noise_on, mode,
-                 transform,
-                 mmat_ref, minv_ref, seed_ref,
+# ---------------------------------------------------------------------------
+# Coordinate-keyed counter RNG.
+#
+# normal draw = f(word, step, global cell index, draw index): the SAME
+# value is produced wherever a cell is (re)computed — by the owning tile,
+# by a neighbor tile's overlap region, or at a periodic wrap — which is
+# what makes temporal blocking conservative across tile seams.  Two
+# rounds of the `lowbias32` integer finalizer (full-avalanche bijective
+# mixer) keyed as
+#
+#     h1 = mix(cell ^ word)                     (once per cell)
+#     h2 = mix(h1 + (step*64 + draw) * GOLDEN)  (per draw)
+#
+# give ~10 VPU int-ops per draw; statistics validated in
+# tests/test_fused_kernel.py (mean/var/cross-draw/lag correlations) and
+# by the equilibrium S(k) hardware acceptance runs.  Built on
+# lax.bitcast_convert_type so the identical code runs inside Mosaic and
+# as plain jnp in unit tests.
+# ---------------------------------------------------------------------------
+
+_GOLDEN = 0x9E3779B9
+
+
+def _u32(x):
+    return jax.lax.bitcast_convert_type(x, jnp.uint32)
+
+
+def _mix32(x):
+    """lowbias32 finalizer (Wellons): bijective, full-avalanche."""
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return x
+
+
+def hash_uniforms(word, step, origin, region, domain, ndraws, dtype):
+    """ndraws arrays of U(0,1) on `region`, keyed by global coordinates.
+
+    word, step: int32 scalars (word: per-call random; step: counter).
+    origin: (ox, oy) int32 scalars — global coords of region[0, 0, :]
+      (may be negative down to -X/-Y; wrapped periodically).
+    region: static (nx, ny, nz); domain: static (X, Y, Z), nz == Z.
+    Returns list of `ndraws` float arrays, strictly inside (0, 1).
+    """
+    X, Y, Z = domain
+    ox, oy = origin
+    ix = jax.lax.broadcasted_iota(jnp.int32, region, 0) + (ox + X)
+    iy = jax.lax.broadcasted_iota(jnp.int32, region, 1) + (oy + Y)
+    iz = jax.lax.broadcasted_iota(jnp.int32, region, 2)
+    gx = jax.lax.rem(ix, jnp.int32(X))
+    gy = jax.lax.rem(iy, jnp.int32(Y))
+    cell = (gx * Y + gy) * Z + iz
+    # scalar mixing stays in int32 (two's-complement wrap == uint32 bits;
+    # Mosaic only supports bitcasts on vectors, so scalars are folded in
+    # BEFORE the vector bitcast / via a unit-vector bitcast)
+    h1 = _mix32(_u32(cell ^ word))
+    gold = jnp.int32(np.int32(np.uint32(_GOLDEN)))
+    sbase = step * jnp.int32(_DRAW_STRIDE)
+    unit = (1,) * len(region)
+    out = []
+    for a in range(ndraws):
+        cnt = jnp.full(unit, (sbase + a) * gold, jnp.int32)
+        h2 = _mix32(h1 + _u32(cnt))
+        i24 = jax.lax.bitcast_convert_type(h2 >> 8, jnp.int32)
+        out.append(i24.astype(dtype) * (1.0 / (1 << 24)) + (0.5 / (1 << 24)))
+    return out
+
+
+def hash_words(word, step, origin, region, domain, ndraws):
+    """ndraws uint32 arrays on `region`, keyed by global coordinates —
+    the raw bit stream behind :func:`hash_uniforms` / :func:`hash_normals`."""
+    X, Y, Z = domain
+    ox, oy = origin
+    ix = jax.lax.broadcasted_iota(jnp.int32, region, 0) + (ox + X)
+    iy = jax.lax.broadcasted_iota(jnp.int32, region, 1) + (oy + Y)
+    iz = jax.lax.broadcasted_iota(jnp.int32, region, 2)
+    gx = jax.lax.rem(ix, jnp.int32(X))
+    gy = jax.lax.rem(iy, jnp.int32(Y))
+    cell = (gx * Y + gy) * Z + iz
+    h1 = _mix32(_u32(cell ^ word))
+    gold = jnp.int32(np.int32(np.uint32(_GOLDEN)))
+    sbase = step * jnp.int32(_DRAW_STRIDE)
+    unit = (1,) * len(region)
+    out = []
+    for a in range(ndraws):
+        cnt = jnp.full(unit, (sbase + a) * gold, jnp.int32)
+        out.append(_mix32(h1 + _u32(cnt)))
+    return out
+
+
+# CLT-4 byte-sum normal: one uint32 word -> sum of its 4 bytes (four
+# i.i.d. discrete uniforms on 0..255), standardized.  Exact mean and
+# variance, symmetric, excess kurtosis -0.3, support +-3.45 sigma —
+# statistically equivalent to a Gaussian for every fluctuation
+# observable this framework validates (noise covariance, equilibrium
+# S(k), capillary spectrum, MSD are all second-moment statistics;
+# higher-cumulant corrections enter at O(kBT^2)).  Precedent: Ladd's
+# original FLBM used variance-matched uniform noise (J. Fluid Mech.
+# 271, 1994).  Costs one int->float convert + ~10 int ops per normal vs
+# Box-Muller's log/sqrt/cos/sin — 2-3x cheaper measured on v5e
+# (benchmarks/tpu_noise_micro.py), which is what makes the temporally-
+# blocked fluctuating kernel compute-viable.
+_CLT4_VAR = 4.0 * (65536.0 - 1.0) / 12.0    # var of the 0..1020 byte sum
+_CLT4_SCALE = float(1.0 / np.sqrt(_CLT4_VAR))
+_CLT4_OFF = float(-510.0 / np.sqrt(_CLT4_VAR))
+
+
+def _clt4_normal(w, dtype):
+    """uint32 word -> standardized byte-sum normal (see above)."""
+    s = (w & jnp.uint32(0xFF)) + ((w >> 8) & jnp.uint32(0xFF)) \
+        + ((w >> 16) & jnp.uint32(0xFF)) + (w >> 24)
+    i = jax.lax.bitcast_convert_type(s, jnp.int32)
+    return i.astype(dtype) * _CLT4_SCALE + _CLT4_OFF
+
+
+def _bm_normals(us, dtype):
+    """Box-Muller over 2*_NPAIR uniforms -> (n1, n2) pair lists."""
+    two_pi = 6.283185307179586
+    n1, n2 = [], []
+    for p in range(_NPAIR):
+        r = jnp.sqrt(-2.0 * jnp.log(us[2 * p]))
+        th = two_pi * us[2 * p + 1]
+        n1.append(r * jnp.cos(th))
+        n2.append(r * jnp.sin(th))
+    return n1, n2
+
+
+def hash_normals(word, step, origin, region, domain, dtype,
+                 dist: str = "clt4"):
+    """(n1, n2) lists of _NPAIR standard normals each over the
+    coordinate-keyed hash stream.  dist: "clt4" (byte-sum, default) or
+    "bm" (Box-Muller, exact Gaussian, ~2x slower)."""
+    if dist == "bm":
+        us = hash_uniforms(word, step, origin, region, domain,
+                           2 * _NPAIR, dtype)
+        return _bm_normals(us, dtype)
+    ws = hash_words(word, step, origin, region, domain, 2 * _NPAIR)
+    n = [_clt4_normal(w, dtype) for w in ws]
+    return n[0::2], n[1::2]
+
+
+# ---------------------------------------------------------------------------
+# One K = collide o stream update on an (nx, ny, Z) region.
+# ---------------------------------------------------------------------------
+
+def _k_compute(params: LBMParams, read_f, read_g, nx, ny, normals,
+               transform, mmat_ref, minv_ref, dtype):
+    """Pure compute of one K on an (nx, ny, Z) region.
+
+    read_f/read_g(idx, x0, w, y0, h): population idx of the INPUT
+    (post-collide) state on the rectangle [x0, x0+w) x [y0, y0+h) x Z in
+    region coordinates (x0/y0 may reach down to -2: one K consumes a
+    2-cell halo).  normals: (n1, n2) per-pair lists on the region, or
+    None when noise is off.  Returns (f_pops, g_pops) lists of 19
+    (nx, ny, Z) arrays — the post-collide output on the region.
+
+    Physics: streamed moments -> SC force (LBM_binary.H:254-255) ->
+    real-velocity reconstruction (LBM_binary.H:266-272) -> barycentric
+    equilibrium + Guo forcing moments -> MRT relax + noise kick
+    (LBM_binary.H:504-511).
+    """
+    has_force = params.alpha0 != 0.0
+    noise_on = normals is not None
+
+    def fs(read, idx, t):
+        """population idx of the streamed state on the window with
+        t halo cells: value at cell x is input[idx, x - c]."""
+        cx, cy, cz = int(C[idx, 0]), int(C[idx, 1]), int(C[idx, 2])
+        sl = read(idx, -t - cx, nx + 2 * t, -t - cy, ny + 2 * t)
+        return _roll_z(sl, cz)
+
+    def center(arr1):
+        """ext1 window -> region interior."""
+        return arr1[1:1 + nx, 1:1 + ny, :]
+
+    # streamed region populations (list of 19 arrays per species)
+    fsl = [fs(read_f, idx, 0) for idx in range(Q)]
+    gsl = [fs(read_g, idx, 0) for idx in range(Q)]
+
+    if has_force:
+        # densities on the 1-extended region (for the gradient stencil)
+        def density_ext1(read):
+            acc = fs(read, 0, 1)
+            for idx in range(1, Q):
+                acc = acc + fs(read, idx, 1)
+            return acc
+
+        rho1 = density_ext1(read_f)
+        phi1 = density_ext1(read_g)
+        if params.use_sc_pseudo:
+            n0 = params.sc_ref_density
+            psi_rho1 = n0 * (1.0 - jnp.exp(-rho1 / n0))
+            psi_phi1 = n0 * (1.0 - jnp.exp(-phi1 / n0))
+        else:
+            psi_rho1, psi_phi1 = rho1, phi1
+        rho = center(rho1)
+        phi = center(phi1)
+        psi_rho = center(psi_rho1)
+        psi_phi = center(psi_phi1)
+
+        # 19-point isotropic gradient of a field given on ext1
+        def gradient(ps1):
+            gx = gy = gz = None
+            for idx in range(1, Q):
+                cx, cy, cz = (int(C[idx, 0]), int(C[idx, 1]),
+                              int(C[idx, 2]))
+                w = float(W[idx] / CS2)
+                nb = _roll_z(
+                    ps1[1 + cx:1 + cx + nx, 1 + cy:1 + cy + ny, :],
+                    -cz)
+                if cx:
+                    gx = (w * cx) * nb if gx is None \
+                        else gx + (w * cx) * nb
+                if cy:
+                    gy = (w * cy) * nb if gy is None \
+                        else gy + (w * cy) * nb
+                if cz:
+                    gz = (w * cz) * nb if gz is None \
+                        else gz + (w * cz) * nb
+            return gx, gy, gz
+
+        grad_phi = gradient(psi_phi1)
+        grad_rho = gradient(psi_rho1)
+    else:
+        rho = None  # computed from moments below
+        phi = None
+
+    # moments: unrolled adds (VPU) or 19x19 matmul (MXU)
+    if transform == "mxu":
+        def mom(pops):
+            x = jnp.stack(pops)
+            m4 = jax.lax.dot_general(
+                mmat_ref[:], x, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+            return [m4[k] for k in range(Q)]
+    else:
+        def mom(pops):
+            out = []
+            for k in range(Q):
+                acc = None
+                for idx in range(Q):
+                    c = float(M[k, idx])
+                    if c == 0.0:
+                        continue
+                    t = pops[idx] if c == 1.0 else (
+                        -pops[idx] if c == -1.0 else c * pops[idx])
+                    acc = t if acc is None else acc + t
+                out.append(acc)
+            return out
+
+    mf = mom(fsl)
+    mg = mom(gsl)
+    if rho is None:
+        rho = mf[0]
+        phi = mg[0]
+
+    eps = params.div_eps
+
+    def safe_inv(x):
+        ok = jnp.abs(x) > eps
+        return jnp.where(ok, 1.0 / jnp.where(ok, x, 1.0), 0.0)
+
+    inv_rho = safe_inv(rho)
+    inv_phi = safe_inv(phi)
+
+    ufb = [mf[1] * inv_rho, mf[2] * inv_rho, mf[3] * inv_rho]
+    ugb = [mg[1] * inv_phi, mg[2] * inv_phi, mg[3] * inv_phi]
+
+    if has_force:
+        a0 = params.alpha0
+        af = [-CS2 * a0 * psi_rho * g * inv_rho for g in grad_phi]
+        ag = [-CS2 * a0 * psi_phi * g * inv_phi for g in grad_rho]
+
+    # ----------------------- noise amplitudes x normals -----------
+    lam_f = params.lam_f
+    lam_g = params.lam_g
+    if noise_on:
+        n1, n2 = normals
+        kBT = params.kBT
+        pref_f = 2.0 * (lam_f - 0.5 * lam_f * lam_f) * kBT
+        pref_g = 2.0 * (lam_g - 0.5 * lam_g * lam_g) * kBT
+        rhot_ = rho + phi
+        amp_mom = jnp.sqrt(
+            pref_f * jnp.abs(rho * phi * safe_inv(rhot_)))
+        sq_rho = jnp.sqrt(jnp.abs(rho))
+        sq_phi = jnp.sqrt(jnp.abs(phi))
+
+        def normal(a):
+            return n1[a // 2] if a % 2 == 0 else n2[a // 2]
+
+        region_shape = (nx, ny) + fsl[0].shape[2:]
+        xi_f = [jnp.zeros(region_shape, dtype)]
+        xi_g = [jnp.zeros(region_shape, dtype)]
+        for a in range(1, 4):
+            m_ = amp_mom * normal(a - 1)
+            xi_f.append(m_)
+            xi_g.append(-m_)
+        for a in range(4, Q):
+            cf = float(np.sqrt(pref_f / CS2 * B[a]))
+            cg = float(np.sqrt(pref_g / CS2 * B[a]))
+            xi_f.append(cf * sq_rho * normal(3 + (a - 4)))
+            xi_g.append(cg * sq_phi * normal(18 + (a - 4)))
+    else:
+        xi_f = None
+        xi_g = None
+
+    # ------------------------- real velocities (LBM_binary.H:266-272)
+    rhot = rho + phi
+    inv_rhot = safe_inv(rhot)
+    wf = phi * inv_rhot
+    wg = rho * inv_rhot
+
+    uf = []
+    ug = []
+    for d in range(3):
+        dud = ufb[d] - ugb[d]
+        if has_force:
+            dud = dud + 0.5 * (af[d] - ag[d])
+        uf_d = ufb[d] - 0.5 * lam_f * wf * dud
+        ug_d = ugb[d] + 0.5 * lam_g * wg * dud
+        if has_force:
+            uf_d = uf_d + 0.5 * af[d]
+            ug_d = ug_d + 0.5 * ag[d]
+        if noise_on:
+            uf_d = uf_d + 0.5 * xi_f[1 + d] * inv_rho
+            ug_d = ug_d + 0.5 * xi_g[1 + d] * inv_phi
+        uf.append(uf_d)
+        ug.append(ug_d)
+
+    vb = [(rho * uf[d] + phi * ug[d]) * inv_rhot for d in range(3)]
+
+    # ------------------------------------- equilibrium + force moments
+    def meq(n, u):
+        u2 = u[0] * u[0] + u[1] * u[1] + u[2] * u[2]
+        return [
+            n,
+            n * u[0], n * u[1], n * u[2],
+            n * u2,
+            n * (3.0 * u[0] * u[0] - u2),
+            n * (u[1] * u[1] - u[2] * u[2]),
+            n * u[0] * u[1], n * u[1] * u[2], n * u[0] * u[2],
+        ]
+
+    def phim(n, u, a, tau):
+        s = 1.0 / (1.0 + 1.0 / (2.0 * tau))
+        au = a[0] * u[0] + a[1] * u[1] + a[2] * u[2]
+        return [
+            None,
+            s * n * a[0], s * n * a[1], s * n * a[2],
+            s * 2.0 * n * au,
+            s * n * (6.0 * a[0] * u[0] - 2.0 * au),
+            s * 2.0 * n * (a[1] * u[1] - a[2] * u[2]),
+            s * n * (a[0] * u[1] + a[1] * u[0]),
+            s * n * (a[1] * u[2] + a[2] * u[1]),
+            s * n * (a[0] * u[2] + a[2] * u[0]),
+        ]
+
+    mf_eq = meq(rho, vb)
+    mg_eq = meq(phi, vb)
+    if has_force:
+        ph_f = phim(rho, uf, af, params.tau_f)
+        ph_g = phim(phi, ug, ag, params.tau_g)
+
+    inv_tf = 1.0 / (params.tau_f + 0.5)
+    inv_tg = 1.0 / (params.tau_g + 0.5)
+    for k in range(Q):
+        rf = (inv_tf * (mf_eq[k] - mf[k]) if k < 10
+              else -inv_tf * mf[k])
+        rg = (inv_tg * (mg_eq[k] - mg[k]) if k < 10
+              else -inv_tg * mg[k])
+        if has_force and 1 <= k < 10:
+            rf = rf + ph_f[k]
+            rg = rg + ph_g[k]
+        mf[k] = mf[k] + rf
+        mg[k] = mg[k] + rg
+        if noise_on:
+            mf[k] = mf[k] + xi_f[k]
+            mg[k] = mg[k] + xi_g[k]
+
+    # ------------------------------------------------- back transform
+    if transform == "mxu":
+        def pops_from(mom_list):
+            m4 = jnp.stack(mom_list)
+            r = jax.lax.dot_general(
+                minv_ref[:], m4, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+            return [r[idx] for idx in range(Q)]
+    else:
+        def pops_from(mom_list):
+            out = []
+            for idx in range(Q):
+                acc = None
+                for k in range(Q):
+                    c = float(M_INV[idx, k])
+                    if c == 0.0:
+                        continue
+                    t = c * mom_list[k]
+                    acc = t if acc is None else acc + t
+                out.append(acc)
+            return out
+
+    return pops_from(mf), pops_from(mg)
+
+
+def _step_kernel(params: LBMParams, shape, gdomain, bx, by, block,
+                 noise_on, mode, transform, noise_impl, noise_dist,
+                 ext_mode, mmat_ref, minv_ref, seed_ref,
                  fc_hbm, gc_hbm, fout_hbm, gout_hbm):
-    """Grid program: one (bx, by, Z) interior tile.
+    """Grid program: `block` K-steps on one (bx, by, Z) interior tile.
 
     Cross-grid-step double buffering: while tile t computes, tile t+1's
     halo fragments stream into the alternate ext buffers and tile t-2's
     result DMA drains from the alternate out buffers — input, compute,
     and output phases overlap (the unpipelined version ran at ~230 GB/s
     effective HBM bandwidth; this hides most of the DMA time).
+
+    ext_mode: the input arrays are a local shard block already extended
+    by (2*block, _PY) halo cells per side (halos exchanged via ppermute
+    in :mod:`bflbm_tpu.parallel.kernel`), so every load is a single
+    contiguous fragment with no periodic wrap; seed_ref carries the
+    shard's global origin for the coordinate-keyed noise; `gdomain` is
+    the global domain shape (== `shape` in single-device mode).
     """
     X, Y, Z = shape
     gx, gy = X // bx, Y // by
@@ -181,9 +616,8 @@ def _step_kernel(params: LBMParams, shape, bx, by, noise_on, mode,
     i = pl.program_id(0)
     j = pl.program_id(1)
     t = i * gy + j
-    px, py = _PX, _PY
+    px, py = 2 * block, _PY
     exb, eyb = bx + 2 * px, by + 2 * py
-    has_force = params.alpha0 != 0.0
 
     xsizes = (px, bx, px)
     ysizes = (py, by, py)
@@ -196,14 +630,25 @@ def _step_kernel(params: LBMParams, shape, bx, by, noise_on, mode,
 
     def body(ext_f2, ext_g2, out_f2, out_g2, sems_in, sems_out):
         def in_copies_full(tt, slot):
-            """All 9 halo fragments for tile tt (row starts / tiles
-            mode)."""
+            """All halo fragments for tile tt (row starts / tiles mode):
+            9 wrapped fragments in periodic mode, 1 contiguous block in
+            ext (pre-extended shard) mode."""
             ii = tt // gy
             jj = tt - ii * gy
+            cps = []
+            if ext_mode:
+                for si, src in enumerate((fc_hbm, gc_hbm)):
+                    dst = ext_f2 if si == 0 else ext_g2
+                    cps.append(pltpu.make_async_copy(
+                        src.at[:, pl.ds(ii * bx, exb),
+                               pl.ds(pl.multiple_of(jj * by, 8), eyb), :],
+                        dst.at[slot],
+                        sems_in.at[slot, len(cps)],
+                    ))
+                return cps
             xs = _mod_starts(ii, bx, px, X)
             ys = _mod_starts(jj, by, py, Y)
             ys = tuple(pl.multiple_of(y, 8) for y in ys)
-            cps = []
             for si, src in enumerate((fc_hbm, gc_hbm)):
                 dst = ext_f2 if si == 0 else ext_g2
                 dx = 0
@@ -233,6 +678,18 @@ def _step_kernel(params: LBMParams, shape, bx, by, noise_on, mode,
             """
             ii = tt // gy
             jj = tt - ii * gy
+            cps = []
+            if ext_mode:
+                for si, src in enumerate((fc_hbm, gc_hbm)):
+                    dst = ext_f2 if si == 0 else ext_g2
+                    cps.append(pltpu.make_async_copy(
+                        src.at[:, pl.ds(ii * bx, exb),
+                               pl.ds(pl.multiple_of(jj * by + 2 * py, 8),
+                                     by), :],
+                        dst.at[slot, :, :, pl.ds(2 * py, by), :],
+                        sems_in.at[slot, len(cps)],
+                    ))
+                return cps
             xs = _mod_starts(ii, bx, px, X)
             ys0 = pl.multiple_of(
                 jax.lax.rem((jj * by + py), jnp.int32(Y)), 8)
@@ -242,7 +699,6 @@ def _step_kernel(params: LBMParams, shape, bx, by, noise_on, mode,
                 # wrap at the row end: [Y-PY, Y) then [0, BY-PY)
                 yparts = ((pl.multiple_of(Y - py, 8), 2 * py, py),
                           (0, 2 * py + py, by - py))
-            cps = []
             for si, src in enumerate((fc_hbm, gc_hbm)):
                 dst = ext_f2 if si == 0 else ext_g2
                 dx = 0
@@ -298,7 +754,8 @@ def _step_kernel(params: LBMParams, shape, bx, by, noise_on, mode,
         else:
             jj1 = jax.lax.rem(t + 1, jnp.int32(gy))
             jj0 = jax.lax.rem(t, jnp.int32(gy))
-            wraps = by > py  # last tile of a row needs a 2-frag fresh load
+            # last tile of a row needs a 2-frag fresh load (periodic only)
+            wraps = by > py and not ext_mode
 
             @pl.when(jnp.logical_and(t + 1 < n_tiles, jj1 == 0))
             def _():
@@ -306,28 +763,57 @@ def _step_kernel(params: LBMParams, shape, bx, by, noise_on, mode,
                     cp.start()
 
         # ---------------- input-independent noise normals -------------
-        # Generated BEFORE the DMA waits: the PRNG + Box-Muller work
-        # (~30% of the step) fills the core's otherwise-idle DMA stall.
+        # Phase-0 normals are generated BEFORE the DMA waits: the
+        # hash/PRNG + Box-Muller work fills the core's otherwise-idle
+        # DMA stall.
         dtype = fout_hbm.dtype
-        tile_shape = (bx, by, Z)
-        if noise_on:
-            # Seed space: (random word + tile hash, step counter) — a
+        word = seed_ref[0]
+        step0 = seed_ref[1]
+        # shard origin (global coords of local cell (0, 0)): nonzero only
+        # under the shard_map path
+        ox0 = seed_ref[2] if ext_mode else jnp.int32(0)
+        oy0 = seed_ref[3] if ext_mode else jnp.int32(0)
+        phase_normals = [None] * block
+
+        def gen_normals(s):
+            """Normals for phase s on its compute region."""
+            p_s = 2 * (block - 1 - s)
+            region = (bx + 2 * p_s, by + 2 * p_s, Z)
+            if s < block - 1 or noise_impl == "hash":
+                origin = (ox0 + i * bx - p_s, oy0 + j * by - p_s)
+                return hash_normals(word, step0 + s, origin, region,
+                                    gdomain, dtype, noise_dist)
+            # final phase: interior-only (never recomputed by another
+            # tile), so the cheap per-tile hardware PRNG stream is safe.
+            # Seed space: (random word + global-tile hash, step) — a
             # single 32-bit word would birthday-collide over the 1e6-step
-            # production presets (identical global noise fields ~100x/run);
-            # Mosaic caps prng_seed at 2 words, so the tile index is folded
-            # into the random word by an odd-multiplier (injective) hash.
-            tile_h = (i * pl.num_programs(1) + j) * jnp.int32(-1640531527)
-            pltpu.prng_seed(seed_ref[0] + tile_h, seed_ref[1])
+            # production presets; Mosaic caps prng_seed at 2 words, so
+            # the global tile origin is folded into the random word by an
+            # odd-multiplier (injective) hash.  Global (not grid-local)
+            # coordinates keep shard streams distinct under shard_map.
+            gtile = (ox0 + i * bx) * jnp.int32(gdomain[1]) \
+                + (oy0 + j * by)
+            pltpu.prng_seed(word + gtile * jnp.int32(-1640531527),
+                            step0 + s)
+            bits = pltpu.prng_random_bits((2 * _NPAIR,) + region)
+            if noise_dist == "clt4":
+                ns = [_clt4_normal(pltpu.bitcast(bits[a], jnp.uint32),
+                                   dtype)
+                      for a in range(2 * _NPAIR)]
+                return ns[0::2], ns[1::2]
             two_pi = 6.283185307179586
-            npair = (_N_NORMALS + 1) // 2  # 17
-            bits = pltpu.prng_random_bits((2 * npair,) + tile_shape)
             i24 = pltpu.bitcast(
                 pltpu.bitcast(bits, jnp.uint32) >> 8, jnp.int32)
             u = i24.astype(dtype) * (1.0 / (1 << 24))
-            r_bm = jnp.sqrt(-2.0 * jnp.log(u[:npair] + (0.5 / (1 << 24))))
-            theta = two_pi * u[npair:]
+            r_bm = jnp.sqrt(-2.0 * jnp.log(u[:_NPAIR] + (0.5 / (1 << 24))))
+            theta = two_pi * u[_NPAIR:]
             n1 = r_bm * jnp.cos(theta)
             n2 = r_bm * jnp.sin(theta)
+            return ([n1[p] for p in range(_NPAIR)],
+                    [n2[p] for p in range(_NPAIR)])
+
+        if noise_on:
+            phase_normals[0] = gen_normals(0)
 
         if not sweep:
             for cp in in_copies_full(t, slot):
@@ -389,248 +875,44 @@ def _step_kernel(params: LBMParams, shape, bx, by, noise_on, mode,
         out_f = out_f2.at[slot]
         out_g = out_g2.at[slot]
 
-        dtype = fout_hbm.dtype
+        # ---------------------------------------- T temporal phases
+        def ref_reader(ext, p_s):
+            """Read phase-0 inputs from the ext block; region origin at
+            ext coords (px - p_s, py - p_s)."""
+            ox, oy = px - p_s, py - p_s
 
-        # -------------------------------------- streamed slices helpers
-        def fs(ext, idx, t):
-            """population idx of the streamed state on the window with
-            t halo cells: value at cell x is ext[idx, x - c]."""
-            cx, cy, cz = int(C[idx, 0]), int(C[idx, 1]), int(C[idx, 2])
-            x0 = px - t - cx
-            y0 = py - t - cy
-            sl = ext[idx, x0:x0 + bx + 2 * t, y0:y0 + by + 2 * t, :]
-            return _roll_z(sl, cz)
+            def read(idx, x0, w, y0, h):
+                return ext[idx, ox + x0:ox + x0 + w,
+                           oy + y0:oy + y0 + h, :]
+            return read
 
-        def center(arr1):
-            """ext1 window -> interior."""
-            return arr1[1:1 + bx, 1:1 + by, :]
+        def list_reader(lst):
+            """Read phase s >= 1 inputs from the previous phase's output
+            arrays, whose region pad exceeds this one's by exactly 2."""
+            def read(idx, x0, w, y0, h):
+                return lst[idx][2 + x0:2 + x0 + w, 2 + y0:2 + y0 + h, :]
+            return read
 
-        # streamed interior populations (list of 19 arrays per species)
-        fsl = [fs(ext_f, idx, 0) for idx in range(Q)]
-        gsl = [fs(ext_g, idx, 0) for idx in range(Q)]
+        p0 = 2 * (block - 1)
+        cur_f = ref_reader(ext_f, p0)
+        cur_g = ref_reader(ext_g, p0)
+        f_l = g_l = None
+        for s in range(block):
+            p_s = 2 * (block - 1 - s)
+            nx, ny = bx + 2 * p_s, by + 2 * p_s
+            if noise_on and phase_normals[s] is None:
+                phase_normals[s] = gen_normals(s)
+            f_l, g_l = _k_compute(params, cur_f, cur_g, nx, ny,
+                                  phase_normals[s], transform,
+                                  mmat_ref, minv_ref, dtype)
+            phase_normals[s] = None  # release
+            if s < block - 1:
+                cur_f = list_reader(f_l)
+                cur_g = list_reader(g_l)
 
-        if has_force:
-            # densities on the 1-extended tile (for the gradient stencil)
-            def density_ext1(ext):
-                acc = fs(ext, 0, 1)
-                for idx in range(1, Q):
-                    acc = acc + fs(ext, idx, 1)
-                return acc
-
-            rho1 = density_ext1(ext_f)
-            phi1 = density_ext1(ext_g)
-            if params.use_sc_pseudo:
-                n0 = params.sc_ref_density
-                psi_rho1 = n0 * (1.0 - jnp.exp(-rho1 / n0))
-                psi_phi1 = n0 * (1.0 - jnp.exp(-phi1 / n0))
-            else:
-                psi_rho1, psi_phi1 = rho1, phi1
-            rho = center(rho1)
-            phi = center(phi1)
-            psi_rho = center(psi_rho1)
-            psi_phi = center(psi_phi1)
-
-            # 19-point isotropic gradient of a field given on ext1
-            def gradient(ps1):
-                gx = gy = gz = None
-                for idx in range(1, Q):
-                    cx, cy, cz = (int(C[idx, 0]), int(C[idx, 1]),
-                                  int(C[idx, 2]))
-                    w = float(W[idx] / CS2)
-                    nb = _roll_z(
-                        ps1[1 + cx:1 + cx + bx, 1 + cy:1 + cy + by, :],
-                        -cz)
-                    if cx:
-                        gx = (w * cx) * nb if gx is None \
-                            else gx + (w * cx) * nb
-                    if cy:
-                        gy = (w * cy) * nb if gy is None \
-                            else gy + (w * cy) * nb
-                    if cz:
-                        gz = (w * cz) * nb if gz is None \
-                            else gz + (w * cz) * nb
-                return gx, gy, gz
-
-            grad_phi = gradient(psi_phi1)
-            grad_rho = gradient(psi_rho1)
-        else:
-            rho = None  # computed from moments below
-            phi = None
-
-        # moments: unrolled adds (VPU) or 19x19 matmul (MXU)
-        if transform == "mxu":
-            def mom(pops):
-                x = jnp.stack(pops)
-                m4 = jax.lax.dot_general(
-                    mmat_ref[:], x, (((1,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)
-                return [m4[k] for k in range(Q)]
-        else:
-            def mom(pops):
-                out = []
-                for k in range(Q):
-                    acc = None
-                    for idx in range(Q):
-                        c = float(M[k, idx])
-                        if c == 0.0:
-                            continue
-                        t = pops[idx] if c == 1.0 else (
-                            -pops[idx] if c == -1.0 else c * pops[idx])
-                        acc = t if acc is None else acc + t
-                    out.append(acc)
-                return out
-
-        mf = mom(fsl)
-        mg = mom(gsl)
-        if rho is None:
-            rho = mf[0]
-            phi = mg[0]
-
-        eps = params.div_eps
-
-        def safe_inv(x):
-            ok = jnp.abs(x) > eps
-            return jnp.where(ok, 1.0 / jnp.where(ok, x, 1.0), 0.0)
-
-        inv_rho = safe_inv(rho)
-        inv_phi = safe_inv(phi)
-
-        ufb = [mf[1] * inv_rho, mf[2] * inv_rho, mf[3] * inv_rho]
-        ugb = [mg[1] * inv_phi, mg[2] * inv_phi, mg[3] * inv_phi]
-
-        if has_force:
-            a0 = params.alpha0
-            af = [-CS2 * a0 * psi_rho * g * inv_rho for g in grad_phi]
-            ag = [-CS2 * a0 * psi_phi * g * inv_phi for g in grad_rho]
-
-        # ----------------------- noise amplitudes x normals -----------
-        # (normals n1, n2 were generated before the DMA waits above)
-        lam_f = params.lam_f
-        lam_g = params.lam_g
-        if noise_on:
-            kBT = params.kBT
-            pref_f = 2.0 * (lam_f - 0.5 * lam_f * lam_f) * kBT
-            pref_g = 2.0 * (lam_g - 0.5 * lam_g * lam_g) * kBT
-            rhot_ = rho + phi
-            amp_mom = jnp.sqrt(
-                pref_f * jnp.abs(rho * phi * safe_inv(rhot_)))
-            sq_rho = jnp.sqrt(jnp.abs(rho))
-            sq_phi = jnp.sqrt(jnp.abs(phi))
-
-            def normal(a):
-                return n1[a // 2] if a % 2 == 0 else n2[a // 2]
-
-            xi_f = [jnp.zeros(tile_shape, dtype)]
-            xi_g = [jnp.zeros(tile_shape, dtype)]
-            for a in range(1, 4):
-                m_ = amp_mom * normal(a - 1)
-                xi_f.append(m_)
-                xi_g.append(-m_)
-            for a in range(4, Q):
-                cf = float(np.sqrt(pref_f / CS2 * B[a]))
-                cg = float(np.sqrt(pref_g / CS2 * B[a]))
-                xi_f.append(cf * sq_rho * normal(3 + (a - 4)))
-                xi_g.append(cg * sq_phi * normal(18 + (a - 4)))
-        else:
-            xi_f = None
-            xi_g = None
-
-        # ------------------------- real velocities (LBM_binary.H:266-272)
-        rhot = rho + phi
-        inv_rhot = safe_inv(rhot)
-        wf = phi * inv_rhot
-        wg = rho * inv_rhot
-
-        uf = []
-        ug = []
-        for d in range(3):
-            dud = ufb[d] - ugb[d]
-            if has_force:
-                dud = dud + 0.5 * (af[d] - ag[d])
-            uf_d = ufb[d] - 0.5 * lam_f * wf * dud
-            ug_d = ugb[d] + 0.5 * lam_g * wg * dud
-            if has_force:
-                uf_d = uf_d + 0.5 * af[d]
-                ug_d = ug_d + 0.5 * ag[d]
-            if noise_on:
-                uf_d = uf_d + 0.5 * xi_f[1 + d] * inv_rho
-                ug_d = ug_d + 0.5 * xi_g[1 + d] * inv_phi
-            uf.append(uf_d)
-            ug.append(ug_d)
-
-        vb = [(rho * uf[d] + phi * ug[d]) * inv_rhot for d in range(3)]
-
-        # ------------------------------------- equilibrium + force moments
-        def meq(n, u):
-            u2 = u[0] * u[0] + u[1] * u[1] + u[2] * u[2]
-            return [
-                n,
-                n * u[0], n * u[1], n * u[2],
-                n * u2,
-                n * (3.0 * u[0] * u[0] - u2),
-                n * (u[1] * u[1] - u[2] * u[2]),
-                n * u[0] * u[1], n * u[1] * u[2], n * u[0] * u[2],
-            ]
-
-        def phim(n, u, a, tau):
-            s = 1.0 / (1.0 + 1.0 / (2.0 * tau))
-            au = a[0] * u[0] + a[1] * u[1] + a[2] * u[2]
-            return [
-                None,
-                s * n * a[0], s * n * a[1], s * n * a[2],
-                s * 2.0 * n * au,
-                s * n * (6.0 * a[0] * u[0] - 2.0 * au),
-                s * 2.0 * n * (a[1] * u[1] - a[2] * u[2]),
-                s * n * (a[0] * u[1] + a[1] * u[0]),
-                s * n * (a[1] * u[2] + a[2] * u[1]),
-                s * n * (a[0] * u[2] + a[2] * u[0]),
-            ]
-
-        mf_eq = meq(rho, vb)
-        mg_eq = meq(phi, vb)
-        if has_force:
-            ph_f = phim(rho, uf, af, params.tau_f)
-            ph_g = phim(phi, ug, ag, params.tau_g)
-
-        inv_tf = 1.0 / (params.tau_f + 0.5)
-        inv_tg = 1.0 / (params.tau_g + 0.5)
-        for k in range(Q):
-            rf = (inv_tf * (mf_eq[k] - mf[k]) if k < 10
-                  else -inv_tf * mf[k])
-            rg = (inv_tg * (mg_eq[k] - mg[k]) if k < 10
-                  else -inv_tg * mg[k])
-            if has_force and 1 <= k < 10:
-                rf = rf + ph_f[k]
-                rg = rg + ph_g[k]
-            mf[k] = mf[k] + rf
-            mg[k] = mg[k] + rg
-            if noise_on:
-                mf[k] = mf[k] + xi_f[k]
-                mg[k] = mg[k] + xi_g[k]
-
-        # ------------------------------------------------- back transform
-        if transform == "mxu":
-            def pops_from(mom_list, out_ref):
-                m4 = jnp.stack(mom_list)
-                out_ref[:] = jax.lax.dot_general(
-                    minv_ref[:], m4, (((1,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)
-        else:
-            def pops_from(mom_list, out_ref):
-                for idx in range(Q):
-                    acc = None
-                    for k in range(Q):
-                        c = float(M_INV[idx, k])
-                        if c == 0.0:
-                            continue
-                        t = c * mom_list[k]
-                        acc = t if acc is None else acc + t
-                    out_ref[idx] = acc
-
-        pops_from(mf, out_f)
-        pops_from(mg, out_g)
+        for idx in range(Q):
+            out_f[idx] = f_l[idx]
+            out_g[idx] = g_l[idx]
 
         # ------------------------------------------------- write back
         for cp in out_copies(t, slot):
@@ -659,14 +941,26 @@ def _step_kernel(params: LBMParams, shape, bx, by, noise_on, mode,
 
 
 def _fused_step_call(params: LBMParams, shape, tile, noise_on,
-                     seed, fc, gc, mode="auto", transform="unrolled"):
+                     seed, fc, gc, mode="auto", transform="unrolled",
+                     block=1, noise_impl="hw", noise_dist="clt4",
+                     gdomain=None, ext_mode=False, interpret=False):
+    """`block` K-steps over the (local) domain `shape`.
+
+    seed = int32 [word, step] (periodic mode) or
+    [word, step, origin_x, origin_y] (ext/shard mode, see _step_kernel).
+    In ext_mode fc/gc are pre-extended local blocks of shape
+    (Q, X + 4*block, Y + 2*_PY, Z); outputs are interior-shaped.
+    """
     X, Y, Z = shape
     bx, by = tile
     assert X % bx == 0 and Y % by == 0, (shape, tile)
+    assert ext_mode or 2 * block <= X, (shape, block)
     grid = (X // bx, Y // by)
-    kern = functools.partial(_step_kernel, params, shape, bx, by, noise_on,
-                             mode, transform)
-    out_shape = [jax.ShapeDtypeStruct(fc.shape, fc.dtype)] * 2
+    kern = functools.partial(_step_kernel, params, shape,
+                             gdomain or shape, bx, by, block,
+                             noise_on, mode, transform, noise_impl,
+                             noise_dist, ext_mode)
+    out_shape = [jax.ShapeDtypeStruct((Q, X, Y, Z), fc.dtype)] * 2
     mmat = jnp.asarray(M, fc.dtype)
     minv = jnp.asarray(M_INV, fc.dtype)
     fo, go = pl.pallas_call(
@@ -682,31 +976,41 @@ def _fused_step_call(params: LBMParams, shape, tile, noise_on,
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024,
+            vmem_limit_bytes=127 * 1024 * 1024,
         ),
+        interpret=interpret,
     )(mmat, minv, seed, fc, gc)
     return fo, go
 
 
 def fused_stream_collide(state: SimState, params: LBMParams,
                          tile=None, mode="auto",
-                         transform="unrolled") -> SimState:
-    """One K = collide o stream update in post-collide state space."""
+                         transform="unrolled", block=1,
+                         noise_impl="hw",
+                         noise_dist="clt4") -> SimState:
+    """`block` K = collide o stream updates in post-collide state space."""
     shape = tuple(state.f.shape[1:])
-    tile = tile or _choose_tile(shape)
-    key, sub = jax.random.split(state.key)
+    tile = tile or _choose_tile(shape, block)
+    # advance the key once per physical step so the key trajectory is
+    # identical across engines and block sizes (checkpoint/resume
+    # reproducibility)
+    key = state.key
+    for _ in range(block):
+        key, sub = jax.random.split(key)
     word = jax.random.randint(sub, (1,), minval=jnp.iinfo(jnp.int32).min,
                               maxval=jnp.iinfo(jnp.int32).max,
                               dtype=jnp.int32)
     seed = jnp.concatenate([word, state.step.astype(jnp.int32)[None]])
     fo, go = _fused_step_call(params, shape, tile, params.noise_on,
-                              seed, state.f, state.g, mode, transform)
-    return SimState(f=fo, g=go, key=key, step=state.step + 1)
+                              seed, state.f, state.g, mode, transform,
+                              block, noise_impl, noise_dist)
+    return SimState(f=fo, g=go, key=key, step=state.step + block)
 
 
 def make_nsteps(params: LBMParams, n: int, tile=None, force: bool = False,
                 mode: str = "auto", transform: str = "unrolled",
-                perm=None):
+                perm=None, block=None, noise_impl: str = "hw",
+                noise_dist: str = "clt4"):
     """n standard steps via the fused kernel.
 
     Returns jitted fn: SimState (post-stream) -> SimState (post-stream).
@@ -714,7 +1018,14 @@ def make_nsteps(params: LBMParams, n: int, tile=None, force: bool = False,
     when one fits (:func:`axis_perm_for_shape`); otherwise, and for
     alpha1 != 0, fall back to the jnp scan unless ``force`` (used by
     interpret-mode tests).  ``perm`` overrides the automatic permutation
-    choice (tests); ``tile`` is interpreted in the (permuted) kernel frame.
+    choice (tests); ``tile`` is interpreted in the (permuted) kernel
+    frame.  ``block`` = K-steps per kernel sweep (temporal blocking;
+    None = auto: 2 when the shape affords it).  ``noise_impl`` selects
+    the FINAL phase's noise stream ("hw" hardware PRNG / "hash"
+    coordinate-keyed); non-final phases always use "hash".
+    ``noise_dist`` selects the normal generator: "clt4" byte-sum
+    (default; exact first/second moments, see :func:`_clt4_normal`) or
+    "bm" Box-Muller (exact Gaussian, ~2x slower noise phase).
     """
     from ..models import binary_fluid as model
     from ..ops import collide as collide_ops
@@ -726,17 +1037,44 @@ def make_nsteps(params: LBMParams, n: int, tile=None, force: bool = False,
     def run_jnp(state: SimState) -> SimState:
         return model.nsteps(state, params, n)
 
-    def fused_body(s: SimState) -> SimState:
+    def pick_block(shape):
+        if block is not None:
+            return block
+        if n - 1 < 2:
+            return 1
+        # temporal blocking halves HBM traffic but adds overlap compute.
+        # Measured on v5e 256^3 (benchmarks/results/tpu_verify.json):
+        # pure-deterministic is DMA-bound and gains (815 -> 1023 MLUPS);
+        # noise (810 -> 625) or the coupling force path (819 -> 692)
+        # make the kernel compute-bound and blocking loses.  So block 2
+        # only for the uncoupled deterministic case.  (The multi-chip
+        # shard path keeps block=2 regardless — there the sweep also
+        # amortizes the ICI halo exchange.)
+        if params.noise_on or params.alpha0 != 0.0:
+            return 1
+        return 2 if shape[0] >= 4 else 1
+
+    def fused_body(s: SimState, shape) -> SimState:
+        T = pick_block(shape)
+        tl = tile or _choose_tile(shape, T)
         # enter post-collide space: one jnp prelude+collide
         h, xi_f, xi_g, key = model.prelude(s, params)
         f1, g1 = collide_ops.collide(s.f, s.g, h, xi_f, xi_g, params)
         s = SimState(f=f1, g=g1, key=key, step=s.step + 1)
 
-        def body(s, _):
-            return fused_stream_collide(s, params, tile, mode,
-                                         transform), None
+        n_k = n - 1  # kernel K-steps
+        n_blocked, n_rest = divmod(n_k, T)
 
-        s, _ = jax.lax.scan(body, s, None, length=n - 1)
+        if n_blocked:
+            def body(s, _):
+                return fused_stream_collide(s, params, tl, mode,
+                                            transform, T,
+                                            noise_impl, noise_dist), None
+
+            s, _ = jax.lax.scan(body, s, None, length=n_blocked)
+        for _ in range(n_rest):
+            s = fused_stream_collide(s, params, tl, mode, transform, 1,
+                                     noise_impl, noise_dist)
         # exit: stream the last post-collide state
         return SimState(f=stream_ops.stream(s.f), g=stream_ops.stream(s.g),
                         key=s.key, step=s.step)
@@ -748,12 +1086,12 @@ def make_nsteps(params: LBMParams, n: int, tile=None, force: bool = False,
         p = perm
         if p is None:
             if force or supports_shape(shape):
-                return fused_body(state)
+                return fused_body(state, shape)
             p = axis_perm_for_shape(shape)
             if p is None:
                 return run_jnp(state)
         if p == (0, 1, 2):
-            return fused_body(state)
+            return fused_body(state, shape)
         # run in the permuted lattice frame (see axis_perm_for_shape)
         idx = _pop_perm(p)
         pinv = _inverse_perm(p)
@@ -761,7 +1099,7 @@ def make_nsteps(params: LBMParams, n: int, tile=None, force: bool = False,
         sp = SimState(f=_permute_pops(state.f, p, idx),
                       g=_permute_pops(state.g, p, idx),
                       key=state.key, step=state.step)
-        out = fused_body(sp)
+        out = fused_body(sp, tuple(shape[a] for a in p))
         return SimState(f=_permute_pops(out.f, pinv, idx_inv),
                         g=_permute_pops(out.g, pinv, idx_inv),
                         key=out.key, step=out.step)

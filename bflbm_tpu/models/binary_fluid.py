@@ -187,8 +187,19 @@ def make_initial_state(cfg: RunConfig) -> SimState:
         return init_droplet(cfg.shape, p, cfg.seed, cfg.dtype, cfg.init_radius)
     if cfg.init == "checkpoint":
         from ..io import checkpoint as ckpt
+        from ..state import SimState
 
         if not cfg.checkpoint_path:
             raise ValueError("init='checkpoint' requires checkpoint_path")
-        return ckpt.load_state(cfg.checkpoint_path)
+        state = ckpt.load_state(cfg.checkpoint_path)
+        if cfg.reseed:
+            # independent-ensemble continuation: replace the stored RNG
+            # key so runs branching from one shared (deterministic)
+            # equilibration checkpoint draw independent noise streams
+            import jax
+
+            state = SimState(f=state.f, g=state.g,
+                             key=jax.random.PRNGKey(cfg.seed),
+                             step=state.step)
+        return state
     raise ValueError(f"unknown init kind {cfg.init!r}")

@@ -182,17 +182,30 @@ def shape_fluctuation_gamma(axes_series: np.ndarray, kBT: float
     }
 
 
+def _sphere_grid(n_theta: int, n_phi: int):
+    """(theta, phi, w) quadrature grid: Gauss-Legendre nodes in
+    cos(theta) x uniform phi.  GL makes the harmonic projections exact
+    for l <= 2*n_theta - 1 — an equi-angular midpoint rule leaks
+    ~1e-3 * zeta_00 into zeta_20 for a perfect sphere, which would
+    swamp the thermal signal rms sqrt(kBT/4gamma) ~ 1e-2."""
+    x, gw = np.polynomial.legendre.leggauss(n_theta)
+    theta = np.arccos(x[::-1])
+    w = gw[::-1] * (2.0 * np.pi / n_phi)
+    phi = np.arange(n_phi) * 2.0 * np.pi / n_phi
+    return theta, phi, w
+
+
 def surface_radius_map(rho: np.ndarray, com: np.ndarray, level: float,
                        n_theta: int = 32, n_phi: int = 64,
                        r_max: float = None) -> np.ndarray:
     """R(theta, phi): radius where rho crosses `level` along radial rays
     from the COM (replaces the reference's marching-cubes surface
     extraction, Droplet_Fluctuation.ipynb cells 32-39).  Trilinear
-    sampling on periodic coordinates."""
+    sampling on periodic coordinates; rays on the Gauss-Legendre grid
+    of :func:`_sphere_grid`."""
     shape = np.asarray(rho.shape)
     r_max = r_max or float(shape.min()) / 2.0 - 1.0
-    theta = (np.arange(n_theta) + 0.5) * np.pi / n_theta
-    phi = np.arange(n_phi) * 2.0 * np.pi / n_phi
+    theta, phi, _ = _sphere_grid(n_theta, n_phi)
     tt, pp = np.meshgrid(theta, phi, indexing="ij")
     dirs = np.stack([np.sin(tt) * np.cos(pp), np.sin(tt) * np.sin(pp),
                      np.cos(tt)], axis=-1)  # (nt, np, 3)
@@ -237,28 +250,48 @@ def _trilinear_periodic(field: np.ndarray, pts: np.ndarray) -> np.ndarray:
 
 def spherical_harmonic_amplitudes(r_map: np.ndarray, lmax: int = 4
                                   ) -> Dict[Tuple[int, int], complex]:
-    """Decompose R(theta, phi)/R0 - 1 into spherical harmonics zeta_lm
-    (Droplet_Fluctuation.ipynb cells 32-39).  Returns {(l, m): zeta_lm}.
+    """Spherical-harmonic coefficients zeta_lm of the surface radius map
+    R(theta, phi) in the reference's convention
+    (Droplet_Fluctuation.ipynb cell 32):
 
-    Equipartition check: 2 gamma <|zeta_20|^2> * R0^2... the reference's
-    pinned relation is 2 gamma <|zeta_20|^2> = kBT/2 with their
-    normalization; see tests for the exact convention used here.
+        zeta_lm = sum(R * conj(Y_lm) * w) / sum(|Y_lm|^2 * w),
+
+    with solid-angle weights w and orthonormal (scipy) Y_lm, i.e. the
+    raw radius in LENGTH units is projected (f = r in the notebook), so
+    zeta_lm carries units of length and zeta_00 = R0 * sqrt(4 pi).
+    Capillary equipartition (cell 39, with the surface-energy expansion
+    E_lm = gamma/2 (l-1)(l+2) |zeta_lm|^2): for l = 2,
+
+        2 gamma <zeta_20^2> = kBT / 2.
+
+    Here the map lives on the Gauss-Legendre grid of
+    :func:`_sphere_grid` (projections exact for l <= 2*n_theta - 1); the
+    denominator keeps the projection exact under discretization like
+    the reference's vertex-weight version.
     """
     from scipy.special import sph_harm_y
 
     nt, npp = r_map.shape
-    theta = (np.arange(nt) + 0.5) * np.pi / nt
-    phi = np.arange(npp) * 2.0 * np.pi / npp
+    theta, phi, w = _sphere_grid(nt, npp)
     tt, pp = np.meshgrid(theta, phi, indexing="ij")
-    r0 = r_map.mean()
-    zeta = r_map / r0 - 1.0
-    domega = (np.pi / nt) * (2.0 * np.pi / npp) * np.sin(tt)
+    domega = np.broadcast_to(w[:, None], (nt, npp))
     out = {}
     for l in range(lmax + 1):
         for m in range(-l, l + 1):
             ylm = sph_harm_y(l, m, tt, pp)
-            out[(l, m)] = complex(np.sum(zeta * np.conj(ylm) * domega))
+            num = np.sum(r_map * np.conj(ylm) * domega)
+            den = np.sum(np.abs(ylm) ** 2 * domega)
+            out[(l, m)] = complex(num / den)
     return out
+
+
+def zeta_equipartition_gamma(zeta20_series, kBT: float) -> float:
+    """Surface tension from the l=2 capillary equipartition relation
+    2 gamma <zeta_20^2> = kBT/2 (Droplet_Fluctuation.ipynb cell 39);
+    zeta20_series in length units from
+    :func:`spherical_harmonic_amplitudes`."""
+    z = np.real(np.asarray(zeta20_series))
+    return float(kBT / (4.0 * np.mean(z ** 2)))
 
 
 def surface_tension_laplace(radii, delta_ps) -> Tuple[float, float]:

@@ -111,12 +111,24 @@ def run(cfg: RunConfig, *, mesh=None, engine: str = "auto",
                 "equilibrium state through every step (jnp engine only)")
         engine = "jnp"  # chunk engines do not thread the ref state
     if chunk > 2 and engine != "jnp":
-        if engine in ("auto", "pallas"):
+        on_tpu = jax.devices()[0].platform == "tpu"
+        multi = mesh is not None and mesh.size > 1
+        if engine in ("auto", "pallas") and multi and on_tpu \
+                and p.alpha1 == 0.0:
+            # multi-chip production path: Pallas kernel per shard under
+            # shard_map with ppermute halo exchange (parallel/kernel.py)
+            from .parallel import kernel as kernel_par
+
+            if kernel_par.supports(mesh, cfg.shape):
+                run_chunk = kernel_par.make_kernel_nsteps(mesh, p, chunk)
+                is_pallas = True
+        if run_chunk is None and engine in ("auto", "pallas") \
+                and not multi:
             from .kernels import fused_step
 
             if (fused_step.supports(cfg.shape)
                     and p.alpha1 == 0.0
-                    and jax.devices()[0].platform == "tpu"):
+                    and on_tpu):
                 run_chunk = fused_step.make_nsteps(p, chunk)
                 is_pallas = True
         if run_chunk is None and engine == "halo" and mesh is not None:
@@ -198,14 +210,16 @@ def run(cfg: RunConfig, *, mesh=None, engine: str = "auto",
                                          sf_lib.REFERENCE_PAIRS)
 
         if cfg.plot_int > 0 and step_i % cfg.plot_int == 0:
-            path = fields_io.write_frame(cfg.out_dir, step_i, packed)
+            if cfg.plot_save:
+                path = fields_io.write_frame(cfg.out_dir, step_i, packed)
             if on_frame:
                 on_frame(step_i, packed)
             if not p.noise_on and cfg.t_window > 0 and step_i >= eq_start:
                 arr = np.asarray(packed)
                 eq_accum = arr if eq_accum is None else eq_accum + arr
                 eq_count += 1
-                eq_paths.append(path)
+                if cfg.plot_save:
+                    eq_paths.append(path)
 
         if cfg.print_int > 0 and step_i % cfg.print_int == 0:
             rho = packed[0]
@@ -240,13 +254,15 @@ def run(cfg: RunConfig, *, mesh=None, engine: str = "auto",
         # PrintConvergence analog (Debug.H:276-358): deviation field
         # (1/N) sum_t |rho_t - rho_mean| over the trailing window, reported
         # as ||.||_1 (cell mean) and ||.||_inf (cell max) norms.
-        dev = np.zeros_like(mean[0])
-        for path in eq_paths:
-            dev += np.abs(fields_io.read_frame(path)["rho"] - mean[0])
-        dev /= len(eq_paths)
-        conv = {"rho_dev_l1": float(dev.mean()),
-                "rho_dev_linf": float(dev.max()),
-                "window_frames": len(eq_paths)}
+        conv = {"window_frames": eq_count}
+        if eq_paths:
+            dev = np.zeros_like(mean[0])
+            for path in eq_paths:
+                dev += np.abs(fields_io.read_frame(path)["rho"] - mean[0])
+            dev /= len(eq_paths)
+            conv.update({"rho_dev_l1": float(dev.mean()),
+                         "rho_dev_linf": float(dev.max()),
+                         "window_frames": len(eq_paths)})
         with open(os.path.join(cfg.out_dir, "convergence.json"), "w") as fh:
             json.dump(conv, fh)
         metrics.log(last, **conv)

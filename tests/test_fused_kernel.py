@@ -37,9 +37,12 @@ def test_fused_matches_jnp_deterministic(alpha0, shape):
     # double-buffer pipeline), so force a single-tile grid here; the
     # multi-tile/sweep load paths are validated on hardware
     # (benchmarks/tpu_kernel_full.py).
+    # block=1: the single-step parity test (blocked sweeps have their
+    # own test); XLA:CPU compile of the fully unrolled block=2 interpret
+    # graph takes ~80 s vs ~9 s for block=1
     with pltpu.force_tpu_interpret_mode():
         run = fused_step.make_nsteps(params, n, force=True,
-                                     tile=(shape[0], shape[1]))
+                                     tile=(shape[0], shape[1]), block=1)
         got = run(state)
 
     assert int(got.step) == n
@@ -115,6 +118,178 @@ def test_axis_perm_for_shape():
     assert fused_step.axis_perm_for_shape((32, 32, 32)) is None
     assert fused_step.supports((8, 256, 64))
     assert not fused_step.supports((32, 32, 32))
+
+
+@pytest.mark.parametrize("dist", ["clt4", "bm"])
+def test_hash_normals_coordinate_keyed(dist):
+    """The counter-RNG normal for a global cell is independent of the
+    region it is generated on — including negative origins and periodic
+    wraps — which is what makes temporally-blocked overlap compute
+    bitwise consistent across tile seams."""
+    from bflbm_tpu.kernels.fused_step import hash_normals
+
+    domain = (8, 16, 8)
+    w = jnp.int32(-123456789)
+    s = jnp.int32(7)
+    full = hash_normals(w, s, (jnp.int32(0), jnp.int32(0)),
+                        domain, domain, jnp.float32, dist)
+    # interior sub-region
+    sub = hash_normals(w, s, (jnp.int32(2), jnp.int32(3)),
+                       (4, 5, 8), domain, jnp.float32, dist)
+    for p in range(len(full[0])):
+        np.testing.assert_array_equal(
+            np.asarray(sub[0][p]), np.asarray(full[0][p])[2:6, 3:8])
+        np.testing.assert_array_equal(
+            np.asarray(sub[1][p]), np.asarray(full[1][p])[2:6, 3:8])
+    # negative origin + wrap: region [-2, 10) x [-2, 18)
+    wrapped = hash_normals(w, s, (jnp.int32(-2), jnp.int32(-2)),
+                           (12, 20, 8), domain, jnp.float32, dist)
+    ref = np.asarray(full[0][3])
+    got = np.asarray(wrapped[0][3])
+    np.testing.assert_array_equal(got[2:10, 2:18], ref)
+    np.testing.assert_array_equal(got[0:2, 2:18], ref[6:8, :])
+    np.testing.assert_array_equal(got[2:10, 0:2], ref[:, 14:16])
+    # different step / word -> different stream
+    other = hash_normals(w, s + 1, (jnp.int32(0), jnp.int32(0)),
+                         domain, domain, jnp.float32, dist)
+    assert not np.allclose(np.asarray(other[0][0]), np.asarray(full[0][0]))
+
+
+@pytest.mark.parametrize("dist", ["clt4", "bm"])
+def test_hash_normals_statistics(dist):
+    """Mean/variance/cross-draw and spatial-lag correlations of the hash
+    stream (the FDT noise driver for temporally-blocked phases)."""
+    from bflbm_tpu.kernels.fused_step import hash_normals
+
+    domain = (16, 16, 128)
+    ns = []
+    for step in range(4):
+        n1, n2 = hash_normals(jnp.int32(987654321), jnp.int32(step),
+                              (jnp.int32(0), jnp.int32(0)),
+                              domain, domain, jnp.float32, dist)
+        ns.append(np.stack([np.asarray(a) for a in (n1 + n2)]))
+    x = np.stack(ns)  # (steps, 34, X, Y, Z)
+    n_samp = x[0, 0].size  # 32768 per draw
+    tol = 5.0 / np.sqrt(n_samp)  # ~5 sigma
+    assert abs(x.mean()) < 1e-2
+    np.testing.assert_allclose(x.var(axis=(2, 3, 4)), 1.0, atol=5 * tol)
+    flat = x.reshape(4 * 34, -1)
+    flat = flat - flat.mean(axis=1, keepdims=True)
+    cov = (flat @ flat.T) / flat.shape[1]
+    off = cov - np.diag(np.diag(cov))
+    assert np.abs(off).max() < 4 * tol, np.abs(off).max()
+    # spatial lag-1 correlations along each axis
+    for ax in (1, 2, 3):
+        a = x[0, 5]
+        b = np.roll(a, 1, axis=ax - 1)
+        r = np.mean(a * b)
+        assert abs(r) < 4 * tol, (ax, r)
+
+
+def test_clt4_normal_moments():
+    """The CLT-4 byte-sum generator has EXACT first/second moments (the
+    only cumulants entering the validated fluctuation observables), zero
+    skew, excess kurtosis -0.3, and support +-3.45 sigma — the documented
+    trade of the kernel's default noise distribution."""
+    from bflbm_tpu.kernels.fused_step import _clt4_normal
+
+    # exhaustive: all 2^16 byte-pair sums x2 reproduces the exact
+    # moments of the full 2^32 word space (bytes are i.i.d.)
+    w = np.arange(1 << 16, dtype=np.uint32)
+    w = (w & 0xFF) | ((w >> 8) << 8)  # identity; bytes 0,1 populated
+    z = np.asarray(_clt4_normal(jnp.asarray(w, jnp.uint32), jnp.float32))
+    # byte-sum of bytes 0,1 only -> mean -510*s + E[b0+b1]*s; instead
+    # check the documented moments on the actual 4-byte generator via
+    # the exact distribution of a single byte
+    b = np.arange(256, dtype=np.float64)
+    m1 = b.mean()
+    v1 = ((b - m1) ** 2).mean()
+    k4_1 = ((b - m1) ** 4).mean() - 3 * v1 ** 2  # 4th cumulant, 1 byte
+    var4 = 4 * v1
+    assert np.isclose(var4, 65535.0 / 3.0)
+    excess = 4 * k4_1 / var4 ** 2
+    assert np.isclose(excess, -0.3, atol=2e-3), excess
+    # generator normalization: z for word with bytes (255,255,255,255)
+    z_max = np.asarray(_clt4_normal(
+        jnp.asarray([0xFFFFFFFF], jnp.uint32), jnp.float32))[0]
+    assert np.isclose(z_max, 510.0 / np.sqrt(var4), rtol=1e-6)
+    z0 = np.asarray(_clt4_normal(
+        jnp.asarray([0], jnp.uint32), jnp.float32))[0]
+    assert np.isclose(z0, -510.0 / np.sqrt(var4), rtol=1e-6)
+    # sampled mean/var over the byte0/byte1-exhaustive slice agree with
+    # the closed form (bytes 2,3 are zero -> shifted but same variance
+    # contribution from two bytes)
+    assert np.isclose(z.var(), 2 * v1 / var4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("alpha0", [0.0, 1.5])
+def test_blocked_matches_jnp_deterministic(alpha0):
+    """Temporal blocking (2 K-steps per kernel sweep) at kBT=0 must
+    reproduce the jnp trajectory exactly like the single-step kernel."""
+    params = LBMParams(alpha0=alpha0, kBT=0.0, kappa=0.1,
+                       rho_lo=0.1, rho_hi=3.0)
+    shape = (8, 8, 8)
+    state = model.init_droplet(shape, params, dtype=jnp.float32, radius=0.3)
+    n = 5  # 1 jnp + 4 kernel K-steps = 2 blocked sweeps
+    ref = state
+    for _ in range(n):
+        ref, _ = model.step(ref, params)
+    # transform="mxu": same dataflow/math via 19x19 dot_generals; the
+    # unrolled-adds variant makes the interpret graph ~10x bigger and
+    # XLA:CPU compile dominates test time (the unrolled x blocked
+    # combination is hardware-validated in benchmarks/tpu_verify.py)
+    with pltpu.force_tpu_interpret_mode():
+        run = fused_step.make_nsteps(params, n, force=True,
+                                     tile=(shape[0], shape[1]), block=2,
+                                     transform="mxu")
+        got = run(state)
+    assert int(got.step) == n
+    np.testing.assert_allclose(np.asarray(got.f), np.asarray(ref.f),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got.g), np.asarray(ref.g),
+                               rtol=0, atol=2e-5)
+
+
+def test_blocked_equals_composed_with_noise():
+    """With the coordinate-keyed hash noise, one 2-step blocked sweep is
+    the composition of two 1-step sweeps (same word/step keys) — the
+    factorization property that guarantees tile seams and periodic wraps
+    inject identical noise.  Equality is to f32 round-off, not bitwise:
+    XLA contracts mul+add into FMA differently for the different region
+    shapes the two computations run on."""
+    from bflbm_tpu.kernels.fused_step import _fused_step_call
+    from bflbm_tpu.models.binary_fluid import prelude
+    from bflbm_tpu.ops import collide as collide_ops
+
+    params = LBMParams(alpha0=1.5, kBT=1e-5, kappa=0.1,
+                       rho_lo=0.1, rho_hi=3.0)
+    shape = (8, 8, 8)
+    state = model.init_droplet(shape, params, dtype=jnp.float32, radius=0.3)
+    # enter post-collide space
+    h, xi_f, xi_g, _ = prelude(state, params)
+    f1, g1 = collide_ops.collide(state.f, state.g, h, xi_f, xi_g, params)
+
+    w = jnp.array([1234567], jnp.int32)
+    s0 = jnp.array([42], jnp.int32)
+    tile = (shape[0], shape[1])
+    with pltpu.force_tpu_interpret_mode():
+        fb, gb = _fused_step_call(
+            params, shape, tile, True, jnp.concatenate([w, s0]), f1, g1,
+            block=2, noise_impl="hash", transform="mxu")
+        fa, ga = _fused_step_call(
+            params, shape, tile, True, jnp.concatenate([w, s0]), f1, g1,
+            block=1, noise_impl="hash", transform="mxu")
+        fa, ga = _fused_step_call(
+            params, shape, tile, True, jnp.concatenate([w, s0 + 1]), fa, ga,
+            block=1, noise_impl="hash", transform="mxu")
+    np.testing.assert_allclose(np.asarray(fb), np.asarray(fa),
+                               rtol=5e-4, atol=5e-7)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(ga),
+                               rtol=5e-4, atol=5e-7)
+    # the noise injected must be identical: mass conservation across the
+    # two factorizations agrees far below the noise scale
+    np.testing.assert_allclose(float(jnp.sum(fb)), float(jnp.sum(fa)),
+                               rtol=1e-6)
 
 
 def test_fused_single_step_is_jnp_step():

@@ -1,0 +1,90 @@
+"""Fused Pallas kernel under shard_map (the multi-chip production path).
+
+Runs on the 8 virtual CPU devices from conftest with the kernel in
+interpret mode (single-tile shards: interpret cannot simulate the
+cross-grid-step DMA pipeline).  Validates
+
+* kBT=0 parity with the jnp trajectory on 2D meshes (halo exchange +
+  ext-mode kernel + temporal blocking);
+* mesh-layout invariance of the fluctuating trajectory with the
+  coordinate-keyed hash noise (the analog of the jnp path's
+  decomposition invariance, tests/test_halo.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bflbm_tpu.config import LBMParams
+from bflbm_tpu.models import binary_fluid as model
+from bflbm_tpu.parallel import kernel as kernel_par
+from bflbm_tpu.parallel import mesh as mesh_lib
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+
+
+def _run(mesh_shape, state, params, n, block, tile=None):
+    mesh = mesh_lib.make_mesh(mesh_shape)
+    run = kernel_par.make_kernel_nsteps(
+        mesh, params, n, block=block, tile=tile, noise_impl="hash",
+        transform="mxu", interpret=True, donate=False)
+    return run(mesh_lib.shard_state(state, mesh))
+
+
+@pytest.mark.parametrize("mesh_shape,block", [((2, 4, 1), 2),
+                                              ((2, 4, 1), 1)])
+def test_kernel_shard_matches_jnp_deterministic(mesh_shape, block):
+    params = LBMParams(alpha0=1.5, kBT=0.0, kappa=0.1,
+                       rho_lo=0.1, rho_hi=3.0)
+    shape = (8, 32, 128)
+    state = model.init_droplet(shape, params, dtype=jnp.float32, radius=0.3)
+    n = 5
+    ref = state
+    for _ in range(n):
+        ref, _ = model.step(ref, params)
+    got = _run(mesh_shape, state, params, n, block)
+    assert int(got.step) == n
+    np.testing.assert_allclose(np.asarray(got.f), np.asarray(ref.f),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got.g), np.asarray(ref.g),
+                               rtol=0, atol=2e-5)
+
+
+def test_kernel_shard_noise_mesh_invariance():
+    """Hash noise is keyed by global coordinates, so the fluctuating
+    trajectory is the same for every mesh layout (up to FMA-contraction
+    round-off on the differing local shapes)."""
+    params = LBMParams(alpha0=0.0, kBT=1e-5)
+    shape = (16, 64, 128)
+    state = model.init_mixture(shape, params, dtype=jnp.float32)
+    n = 4
+    # explicit single-tile-per-shard tiles: interpret mode cannot
+    # simulate the multi-tile DMA pipeline
+    a = _run((2, 4, 1), state, params, n, block=2, tile=(8, 16))
+    b = _run((4, 2, 1), state, params, n, block=2, tile=(4, 32))
+    np.testing.assert_allclose(np.asarray(a.f), np.asarray(b.f),
+                               rtol=1e-3, atol=5e-6)
+    np.testing.assert_allclose(np.asarray(a.g), np.asarray(b.g),
+                               rtol=1e-3, atol=5e-6)
+    # identical injected noise: global mass matches to accumulation
+    # round-off, far below the per-step noise scale
+    np.testing.assert_allclose(float(jnp.sum(a.f)), float(jnp.sum(b.f)),
+                               rtol=1e-6)
+
+
+def test_kernel_shard_rejects_z_sharded():
+    params = LBMParams()
+    mesh = mesh_lib.make_mesh((1, 1, 8))
+    with pytest.raises(ValueError, match="z unsharded"):
+        kernel_par.make_kernel_nsteps(mesh, params, 4)
+
+
+def test_supports():
+    mesh = mesh_lib.make_mesh((2, 4, 1))
+    assert kernel_par.supports(mesh, (8, 32, 128))
+    assert not kernel_par.supports(mesh, (8, 32, 64))   # Z % 128
+    assert not kernel_par.supports(mesh, (9, 32, 128))  # not divisible
+    meshz = mesh_lib.make_mesh((1, 1, 8))
+    assert not kernel_par.supports(meshz, (8, 32, 128))

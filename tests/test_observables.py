@@ -167,6 +167,43 @@ def test_spherical_harmonics_sphere_is_pure_00():
     for (l, m), v in amps.items():
         if l > 0:
             assert abs(v) < 1e-10
+    # length-units convention (Droplet_Fluctuation.ipynb cell 41):
+    # zeta_00 * Y_00 = angular-average radius
+    np.testing.assert_allclose(amps[(0, 0)].real / np.sqrt(4 * np.pi),
+                               8.0, rtol=1e-6)
+
+
+def test_zeta20_recovered_from_perturbed_droplet():
+    """End-to-end zeta_20 pipeline on a synthetic deformed droplet:
+    rho has interface at R(theta) = R0 + a*Y_20(theta); ray extraction +
+    harmonic projection must return zeta_20 ~ a in LENGTH units (the
+    convention the 2 gamma <zeta_20^2> = kBT/2 equipartition check
+    relies on, Droplet_Fluctuation.ipynb cells 32-39)."""
+    from scipy.special import sph_harm_y
+
+    shape = (48, 48, 48)
+    R0, a, w = 10.0, 0.6, 0.8
+    lo, hi = 0.05, 3.0
+    rvec = droplet.minimum_image(droplet.cell_coords(shape), shape)
+    r = np.linalg.norm(rvec, axis=-1)
+    ct = np.divide(rvec[..., 2], r, out=np.zeros_like(r), where=r > 0)
+    theta = np.arccos(np.clip(ct, -1, 1))
+    y20 = np.real(sph_harm_y(2, 0, theta, 0.0))
+    R_dir = R0 + a * y20
+    rho = lo + 0.5 * (hi - lo) * (1 + np.tanh((R_dir - r) / w))
+    rmap = droplet.surface_radius_map(rho, np.zeros(3),
+                                      level=0.5 * (lo + hi))
+    amps = droplet.spherical_harmonic_amplitudes(rmap, lmax=2)
+    np.testing.assert_allclose(amps[(2, 0)].real, a, rtol=0.05)
+    assert abs(amps[(2, 2)]) < 0.02 * a + 1e-3
+    # equipartition inversion at the synthetic amplitude: a known
+    # <zeta_20^2> ensemble returns the gamma that generated it
+    kBT = 1e-5
+    gamma = 0.012162
+    rng = np.random.default_rng(5)
+    z = rng.normal(0.0, np.sqrt(kBT / (4 * gamma)), size=200000)
+    got = droplet.zeta_equipartition_gamma(z, kBT)
+    np.testing.assert_allclose(got, gamma, rtol=0.02)
 
 
 def test_correlation_axis_cut_and_vacf():
