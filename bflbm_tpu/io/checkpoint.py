@@ -65,3 +65,42 @@ def load_equilibrium(path: str):
         path = path + ".npz"
     with np.load(path) as d:
         return d["rho"], d["phi"], d["rho_tot"]
+
+
+# ---------------------------------------------------------------------------
+# Orbax variants — for multi-host / sharded states.  The npz path above
+# funnels through host 0 (jax.device_get materializes the full array);
+# orbax writes each shard from the host that owns it and restores with
+# the target sharding, which is the correct multi-host protocol.
+# ---------------------------------------------------------------------------
+
+def save_state_orbax(path: str, state: SimState) -> str:
+    """Write the state pytree with orbax (sharded, multi-host safe)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path) + ".orbax"
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, {"f": state.f, "g": state.g, "key": state.key,
+                      "step": state.step}, force=True)
+    return path
+
+
+def load_state_orbax(path: str, shardings: Optional[dict] = None
+                     ) -> SimState:
+    """Restore an orbax checkpoint; `shardings` optionally maps
+    {'f','g','key','step'} to jax.sharding.Sharding for direct sharded
+    restore (no host-0 funnel)."""
+    import orbax.checkpoint as ocp
+
+    if not path.endswith(".orbax"):
+        path = path + ".orbax"
+    ckptr = ocp.PyTreeCheckpointer()
+    if shardings:
+        restore_args = {k: ocp.ArrayRestoreArgs(sharding=s)
+                        for k, s in shardings.items()}
+        d = ckptr.restore(path, restore_args=restore_args)
+    else:
+        d = ckptr.restore(path)
+    return SimState(f=jnp.asarray(d["f"]), g=jnp.asarray(d["g"]),
+                    key=jnp.asarray(d["key"]),
+                    step=jnp.asarray(d["step"], jnp.int32))

@@ -26,11 +26,15 @@ def frame_path(out_dir: str, step: int, ndigits: int = 7,
 
 
 def write_frame(out_dir: str, step: int, packed_hydro,
-                fmt: str = "auto") -> str:
+                fmt: str = "auto", writer=None) -> str:
     """packed_hydro: (22, X, Y, Z) array following HYDRO_NAMES order.
 
     fmt: 'npz' | 'native' | 'auto' (native CRC container for large
-    frames — np.savez_compressed is prohibitively slow at 256^3)."""
+    frames — np.savez_compressed is prohibitively slow at 256^3).
+    writer: optional io.native.AsyncFieldWriter — large frames are
+    snapshotted (memcpy at submit) and written by its background
+    threads so the step loop never blocks on disk (the TPU analog of
+    AMReX's async VisMF plotfile path)."""
     os.makedirs(out_dir, exist_ok=True)
     arr = np.asarray(packed_hydro)
     if fmt == "auto":
@@ -38,6 +42,12 @@ def write_frame(out_dir: str, step: int, packed_hydro,
     if fmt == "native":
         from . import native
 
+        if writer is not None:
+            path = frame_path(out_dir, step, ext="bflbm")
+            writer.submit(path, list(HYDRO_NAMES),
+                          [np.ascontiguousarray(arr[i])
+                           for i in range(len(HYDRO_NAMES))])
+            return path
         if native.available():
             path = frame_path(out_dir, step, ext="bflbm")
             native.write_fields(

@@ -64,6 +64,17 @@ def run(cfg: RunConfig, *, mesh=None, engine: str = "auto",
     os.makedirs(cfg.out_dir, exist_ok=True)
     metrics = MetricsWriter(os.path.join(cfg.out_dir, "metrics.jsonl"))
 
+    # async frame writer: large frames go to background writer threads
+    # (reference analog: AMReX async plotfile I/O)
+    frame_writer = None
+    if cfg.plot_int > 0 and cfg.plot_save:
+        nbytes = 22 * int(np.prod(cfg.shape)) * np.dtype(np.float32).itemsize
+        if nbytes >= fields_io._AUTO_NATIVE_BYTES:
+            from .io import native as native_io
+
+            if native_io.available():
+                frame_writer = native_io.AsyncFieldWriter()
+
     # USE_REF_STATE noise path: amplitudes from the stored equilibrium
     # state in the COM frame (main_run_job.cpp:216-235 + LBM_binary.H:92)
     ref_state = None
@@ -211,7 +222,8 @@ def run(cfg: RunConfig, *, mesh=None, engine: str = "auto",
 
         if cfg.plot_int > 0 and step_i % cfg.plot_int == 0:
             if cfg.plot_save:
-                path = fields_io.write_frame(cfg.out_dir, step_i, packed)
+                path = fields_io.write_frame(cfg.out_dir, step_i, packed,
+                                             writer=frame_writer)
             if on_frame:
                 on_frame(step_i, packed)
             if not p.noise_on and cfg.t_window > 0 and step_i >= eq_start:
@@ -238,6 +250,8 @@ def run(cfg: RunConfig, *, mesh=None, engine: str = "auto",
             metrics.log(step_i, **rec)
 
     # end-of-run artifacts
+    if frame_writer is not None:
+        frame_writer.close()  # drain pending frames (eq read-back below)
     ckpt.save_state(
         os.path.join(cfg.out_dir, f"checkpoint{last:07d}"), state,
         extra={"config": _cfg_json(cfg)})

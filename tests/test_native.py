@@ -41,6 +41,24 @@ def test_async_writer():
             np.testing.assert_array_equal(back["x"], a)
 
 
+def test_write_frame_via_async_writer():
+    """run.py's async frame path: write_frame(writer=...) submits the
+    22-field snapshot and read_frame round-trips after flush."""
+    from bflbm_tpu.io import fields as fields_io
+    from bflbm_tpu.ops.hydro import HYDRO_NAMES
+
+    rng = np.random.default_rng(3)
+    packed = rng.normal(size=(len(HYDRO_NAMES), 6, 6, 6)).astype(np.float32)
+    with tempfile.TemporaryDirectory() as d:
+        with native.AsyncFieldWriter(nthreads=1) as w:
+            path = fields_io.write_frame(d, 7, packed, fmt="native",
+                                         writer=w)
+            w.flush()
+            back = fields_io.read_frame(path)
+        for i, n in enumerate(HYDRO_NAMES):
+            np.testing.assert_array_equal(back[n], packed[i])
+
+
 def test_corruption_detected():
     fields = {"rho": np.ones((4, 4, 4), np.float32)}
     with tempfile.TemporaryDirectory() as d:
