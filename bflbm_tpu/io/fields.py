@@ -29,8 +29,8 @@ def write_frame(out_dir: str, step: int, packed_hydro,
                 fmt: str = "auto", writer=None) -> str:
     """packed_hydro: (22, X, Y, Z) array following HYDRO_NAMES order.
 
-    fmt: 'npz' | 'native' | 'auto' (native CRC container for large
-    frames — np.savez_compressed is prohibitively slow at 256^3).
+    fmt: 'npz' | 'native' | 'h5' | 'auto' (native CRC container for
+    large frames — np.savez_compressed is prohibitively slow at 256^3).
     writer: optional io.native.AsyncFieldWriter — large frames are
     snapshotted (memcpy at submit) and written by its background
     threads so the step loop never blocks on disk (the TPU analog of
@@ -39,6 +39,13 @@ def write_frame(out_dir: str, step: int, packed_hydro,
     arr = np.asarray(packed_hydro)
     if fmt == "auto":
         fmt = "native" if arr.nbytes >= _AUTO_NATIVE_BYTES else "npz"
+    if fmt == "h5":
+        from . import hdf5
+
+        if not hdf5.available():
+            raise RuntimeError("fmt='h5' requires h5py")
+        return hdf5.write_frame_h5(frame_path(out_dir, step, ext="h5"),
+                                   step, arr, HYDRO_NAMES)
     if fmt == "native":
         from . import native
 
@@ -60,6 +67,10 @@ def write_frame(out_dir: str, step: int, packed_hydro,
 
 
 def read_frame(path: str) -> Dict[str, np.ndarray]:
+    if path.endswith(".h5"):
+        from . import hdf5
+
+        return hdf5.read_frame_h5(path)
     if path.endswith(".bflbm"):
         from . import native
 

@@ -319,7 +319,18 @@ def main(argv=None):
                     help="device mesh shape (x y z)")
     ap.add_argument("--engine", choices=["auto", "jnp", "pallas", "halo"],
                     default="auto")
+    ap.add_argument("--profile-dir", default=None,
+                    help="write a jax.profiler trace (TensorBoard/xprof "
+                    "format) covering the whole run")
+    ap.add_argument("--distributed", action="store_true",
+                    help="multi-host: call jax.distributed.initialize() "
+                    "(coordinator/process env vars per the JAX docs) "
+                    "before building the mesh; the state pytree is a "
+                    "plain sharded array set, so nothing else changes")
     args = ap.parse_args(argv)
+
+    if args.distributed:
+        jax.distributed.initialize()
 
     cfg = preset(args.preset)
     if args.out:
@@ -364,7 +375,12 @@ def main(argv=None):
 
         mesh = mesh_lib.make_mesh(tuple(args.mesh))
 
-    state = run(cfg, mesh=mesh, engine=args.engine)
+    import contextlib
+
+    prof = (jax.profiler.trace(args.profile_dir) if args.profile_dir
+            else contextlib.nullcontext())
+    with prof:
+        state = run(cfg, mesh=mesh, engine=args.engine)
     print(json.dumps({"final_step": int(state.step),
                       "out_dir": cfg.out_dir}))
 

@@ -90,3 +90,20 @@ def test_float64_roundtrip():
         back = native.read_fields(path)
         assert back["a"].dtype == np.float64
         np.testing.assert_array_equal(back["a"], fields["a"])
+
+
+def test_h5_frame_roundtrip():
+    """Optional HDF5 export (reference GNUmakefile:24 USE_HDF5, compiled
+    out there; first-class here when h5py is present)."""
+    h5py = pytest.importorskip("h5py")  # noqa: F841
+    from bflbm_tpu.io import fields as fields_io
+    from bflbm_tpu.ops.hydro import HYDRO_NAMES
+
+    rng = np.random.default_rng(4)
+    packed = rng.normal(size=(len(HYDRO_NAMES), 5, 5, 5)).astype(np.float32)
+    with tempfile.TemporaryDirectory() as d:
+        path = fields_io.write_frame(d, 11, packed, fmt="h5")
+        back = fields_io.read_frame(path)
+    assert back["step"] == 11
+    for i, n in enumerate(HYDRO_NAMES):
+        np.testing.assert_array_equal(back[n], packed[i])
