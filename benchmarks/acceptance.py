@@ -320,9 +320,12 @@ def phase_e(args):
     from bflbm_tpu import run as run_mod
     from bflbm_tpu.observables import msd as msd_obs
 
-    out_eq = f"{args.out}/droplet-msd-eq"
+    n = args.size  # 32: the system_unit.ipynb droplet (R=6.2, P=0.450);
+    #                 64: the xdg_msd_calc data set (R/L identical)
+    out_eq = f"{args.out}/droplet-msd-eq{n}"
     if not os.path.exists(os.path.join(out_eq, "checkpoint0020000.npz")):
-        cfg0 = preset("droplet-msd-eq").replace(out_dir=out_eq)
+        cfg0 = preset("droplet-msd-eq").replace(shape=(n, n, n),
+                                                out_dir=out_eq)
         run_mod.run(cfg0)
 
     steps = args.steps or 1_000_000
@@ -334,16 +337,16 @@ def phase_e(args):
     import jax
     import jax.numpy as jnp
 
-    shape64 = (64, 64, 64)
-    grids = jnp.meshgrid(*[jnp.arange(n, dtype=jnp.float32) - n / 2 + 0.5
-                           for n in shape64], indexing="ij")
+    shape_n = (n, n, n)
+    grids = jnp.meshgrid(*[jnp.arange(nn, dtype=jnp.float32) - nn / 2 + 0.5
+                           for nn in shape_n], indexing="ij")
 
     @jax.jit
     def reduce_frame(rho):
         filt = jnp.where(rho > 0.06, rho, 0.0)
         mass = jnp.sum(filt)
         com = jnp.stack([jnp.sum(filt * g) for g in grids]) / mass
-        rho_d = filt[32, 32, 32]
+        rho_d = filt[n // 2, n // 2, n // 2]
         rho_m = filt[0, 0, 0]
         excess = jnp.sum(filt - rho_m)
         r = (3.0 / (4.0 * jnp.pi) * excess
@@ -355,9 +358,10 @@ def phase_e(args):
         rows.append((step_i, out[0], out[1], out[2], out[3]))
 
     cfg = preset("droplet-msd-fluct").replace(
-        nsteps=steps, checkpoint_path=f"{out_eq}/checkpoint0020000",
+        shape=(n, n, n), nsteps=steps,
+        checkpoint_path=f"{out_eq}/checkpoint0020000",
         plot_save=False, print_int=steps // 10,
-        out_dir=f"{args.out}/droplet-msd-fluct")
+        out_dir=f"{args.out}/droplet-msd-fluct{n}")
     t0 = time.time()
     run_mod.run(cfg, on_frame=on_frame)
     wall = time.time() - t0
@@ -375,13 +379,21 @@ def phase_e(args):
     # physical units (system_unit.ipynb cell 0)
     dx, dt = 1.613e-9, 0.250e-12
     d_fit_st = d_fit * dx * dx / dt * 1e4  # m^2/s -> St (cm^2/s)
-    return {"phase": "E-msd", "steps": steps, "wall_s": round(wall, 1),
-            "n_frames": len(arr), "R_mass_mean": round(R, 4),
-            "D_fit": d_fit, "D_se": d_se,
-            "rel_diff": round((d_fit - d_se) / d_se, 4),
-            "reference_saved": {"Dse": 9.2952e-07, "Db": 9.6660e-07,
-                                "diff_pct": 3.99},
-            "D_fit_stokes": d_fit_st}
+    out = {"phase": f"E-msd-{n}", "steps": steps,
+           "wall_s": round(wall, 1),
+           "n_frames": len(arr), "R_mass_mean": round(R, 4),
+           "P_factor": round(1 - 2.84 * R / n, 4),
+           "D_fit": d_fit, "D_se": d_se,
+           "rel_diff": round((d_fit - d_se) / d_se, 4),
+           "D_fit_stokes": d_fit_st}
+    if n == 64:
+        # the notebook's saved output on its own 64^3 data set
+        out["reference_saved"] = {"Dse": 9.2952e-07, "Db": 9.6660e-07,
+                                  "diff_pct": 3.99}
+    else:
+        # system_unit.ipynb pins P_FLBM = 0.450 for the R=6.2, L=32 case
+        out["reference_P"] = 0.450
+    return out
 
 
 def phase_f(args):
@@ -452,6 +464,9 @@ def main():
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--n-runs", type=int, default=8)
     ap.add_argument("--alpha0", type=float, default=1.7)
+    ap.add_argument("--size", type=int, default=32,
+                    help="phase e domain edge (32: system_unit droplet; "
+                    "64: the xdg_msd_calc data set)")
     ap.add_argument("--out", default="out/acceptance")
     args = ap.parse_args()
     fn = {"a": phase_a, "b": phase_b, "c": phase_c, "c-ens": phase_c_ens,
