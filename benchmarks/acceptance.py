@@ -289,14 +289,19 @@ def phase_d_sweep(args):
         state = run_mod.run(cfg)
         rho = np.asarray(state.f.sum(axis=0))
         phi = np.asarray(state.g.sum(axis=0))
+        if not np.isfinite(rho).all():
+            # deep-quench f32 instability (observed: alpha0=2.0 r=0.28)
+            results.append({"init_r": r, "nonfinite": True})
+            continue
         com = drop_obs.center_of_mass(rho - rho[0, 0, 0])
         fit_ref = drop_obs.fit_droplet_allcells(rho)
         dp = drop_obs.laplace_delta_p(rho, phi, a0, com)
         results.append({"init_r": r, "R_over_L": round(fit_ref["R"], 6),
                         "delta_p": round(dp, 6)})
     # the reference's fit: DeltaP vs 1/(R/L), quoted slope
-    inv_r = np.array([1.0 / x["R_over_L"] for x in results])
-    dps = np.array([x["delta_p"] for x in results])
+    ok = [x for x in results if "R_over_L" in x]
+    inv_r = np.array([1.0 / x["R_over_L"] for x in ok])
+    dps = np.array([x["delta_p"] for x in ok])
     slope, icpt = np.polyfit(inv_r, dps, 1)
     out = {"phase": f"D-sweep-a{a0}", "steps": steps, "runs": results,
            "slope": round(float(slope), 8),

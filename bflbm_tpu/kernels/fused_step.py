@@ -67,6 +67,23 @@ from ..config import LBMParams
 from ..lattice import B, C, CS2, M, M_INV, Q, W
 from ..state import SimState
 
+# Opposite-velocity pairs and moment-row parity (used by the "eo"
+# transform): c[2p+2] == -c[2p+1] in the reference ordering, and every
+# Duenweg/Schiller basis row is parity-definite under c -> -c, so
+# moments split into an even sector (reads only pair sums s_p = f_i +
+# f_ibar) and an odd sector (pair differences) — ~40% fewer VPU
+# multiply-adds than the fully unrolled transform.
+_PAIRS = tuple((2 * p + 1, 2 * p + 2) for p in range(9))
+_ROW_EVEN = tuple(
+    bool(all(M[k, i] == M[k, j] for i, j in _PAIRS)) for k in range(Q))
+assert all(_ROW_EVEN[k] or all(M[k, i] == -M[k, j] for i, j in _PAIRS)
+           for k in range(Q)), "moment basis must be parity-definite"
+assert all(
+    (_ROW_EVEN[k] and all(M_INV[i, k] == M_INV[j, k] for i, j in _PAIRS))
+    or (not _ROW_EVEN[k]
+        and all(M_INV[i, k] == -M_INV[j, k] for i, j in _PAIRS))
+    for k in range(Q))
+
 # number of normal draws per cell: 3 momentum + 15 ghost(f) + 15 ghost(g)
 _N_NORMALS = 33
 _NPAIR = (_N_NORMALS + 1) // 2   # Box-Muller pairs (17 -> 34 normals)
@@ -412,7 +429,8 @@ def _k_compute(params: LBMParams, read_f, read_g, nx, ny, normals,
         rho = None  # computed from moments below
         phi = None
 
-    # moments: unrolled adds (VPU) or 19x19 matmul (MXU)
+    # moments: unrolled adds (VPU), parity-paired adds ("eo"), or
+    # 19x19 matmul (MXU)
     if transform == "mxu":
         def mom(pops):
             x = jnp.stack(pops)
@@ -421,6 +439,29 @@ def _k_compute(params: LBMParams, read_f, read_g, nx, ny, normals,
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)
             return [m4[k] for k in range(Q)]
+    elif transform == "eo":
+        def mom(pops):
+            sp = [pops[i] + pops[j] for i, j in _PAIRS]
+            dp = [pops[i] - pops[j] for i, j in _PAIRS]
+            out = []
+            for k in range(Q):
+                if _ROW_EVEN[k]:
+                    c0 = float(M[k, 0])
+                    acc = None if c0 == 0.0 else (
+                        pops[0] if c0 == 1.0 else c0 * pops[0])
+                    src = sp
+                else:
+                    acc = None
+                    src = dp
+                for p, (i, _) in enumerate(_PAIRS):
+                    c = float(M[k, i])
+                    if c == 0.0:
+                        continue
+                    t = src[p] if c == 1.0 else (
+                        -src[p] if c == -1.0 else c * src[p])
+                    acc = t if acc is None else acc + t
+                out.append(acc)
+            return out
     else:
         def mom(pops):
             out = []
@@ -574,6 +615,31 @@ def _k_compute(params: LBMParams, read_f, read_g, nx, ny, normals,
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)
             return [r[idx] for idx in range(Q)]
+    elif transform == "eo":
+        def pops_from(mom_list):
+            out = [None] * Q
+            acc = None
+            for k in range(Q):
+                c = float(M_INV[0, k])
+                if c == 0.0:
+                    continue
+                t = c * mom_list[k]
+                acc = t if acc is None else acc + t
+            out[0] = acc
+            for i, j in _PAIRS:
+                ev = od = None
+                for k in range(Q):
+                    c = float(M_INV[i, k])
+                    if c == 0.0:
+                        continue
+                    t = c * mom_list[k]
+                    if _ROW_EVEN[k]:
+                        ev = t if ev is None else ev + t
+                    else:
+                        od = t if od is None else od + t
+                out[i] = ev + od
+                out[j] = ev - od
+            return out
     else:
         def pops_from(mom_list):
             out = []

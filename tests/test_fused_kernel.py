@@ -186,6 +186,36 @@ def test_hash_normals_statistics(dist):
         assert abs(r) < 4 * tol, (ax, r)
 
 
+def test_eo_transform_matches_mxu():
+    """The parity-paired ("eo") moment transform — even rows read pair
+    sums, odd rows pair differences, inverse reconstructs f_i/f_ibar
+    from shared even/odd partials — is the same linear map as the 19x19
+    matmul to round-off."""
+    from bflbm_tpu.kernels.fused_step import _fused_step_call
+    from bflbm_tpu.models.binary_fluid import prelude
+    from bflbm_tpu.ops import collide as collide_ops
+
+    params = LBMParams(alpha0=1.5, kBT=1e-5, kappa=0.1,
+                       rho_lo=0.1, rho_hi=3.0)
+    shape = (8, 8, 8)
+    state = model.init_droplet(shape, params, dtype=jnp.float32, radius=0.3)
+    h, xi_f, xi_g, _ = prelude(state, params)
+    f1, g1 = collide_ops.collide(state.f, state.g, h, xi_f, xi_g, params)
+    seed = jnp.array([1, 2], jnp.int32)
+    outs = {}
+    with pltpu.force_tpu_interpret_mode():
+        for t in ("mxu", "eo"):
+            outs[t] = _fused_step_call(
+                params, shape, (8, 8), True, seed, f1, g1, block=1,
+                transform=t, noise_impl="hash")
+    np.testing.assert_allclose(np.asarray(outs["eo"][0]),
+                               np.asarray(outs["mxu"][0]),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(outs["eo"][1]),
+                               np.asarray(outs["mxu"][1]),
+                               rtol=0, atol=1e-6)
+
+
 def test_clt4_normal_moments():
     """The CLT-4 byte-sum generator has EXACT first/second moments (the
     only cumulants entering the validated fluctuation observables), zero
