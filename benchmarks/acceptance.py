@@ -434,33 +434,59 @@ def phase_f(args):
 
     kBT = 1e-5
     skip = len(frames) // 4  # noise-equilibration transient
-    axes, zetas = [], []
+    eigs, rads, zetas = [], [], []
     for rho in frames[skip:]:
         com = drop_obs.center_of_mass(rho - rho[0, 0, 0])
-        fit_r = drop_obs.radius_from_mass(rho)
-        axes.append(drop_obs.principal_radii(rho, com, fit_r))
+        rads.append(drop_obs.radius_from_mass(rho))
+        s = drop_obs.gyration_tensor(rho, com)
+        eigs.append(np.sort(np.linalg.eigvalsh(s))[::-1])
         level = 0.5 * (rho.min() + rho.max())
         rmap = drop_obs.surface_radius_map(rho, com, level)
         amps = drop_obs.spherical_harmonic_amplitudes(rmap, lmax=2)
         zetas.append(amps[(2, 0)].real)
-    gpair = drop_obs.shape_fluctuation_gamma(np.asarray(axes), kBT)
+    # principal semi-axes at FIXED R0 (a per-frame mass-radius injects a
+    # common-mode delta R driven by the single-cell center density and
+    # swamps the shape signal — the reference's own |d(a+b+c)| ~ 1e-4
+    # shows it used a fixed scale)
+    e = np.asarray(eigs)
+    r0 = float(np.mean(rads))
+    axes = np.stack([r0 * ((e[:, i] * e[:, i])
+                           / (e[:, j] * e[:, k])) ** (1.0 / 6.0)
+                     for i, j, k in ((0, 1, 2), (1, 2, 0), (2, 0, 1))],
+                    axis=1)
+    da = axes - axes.mean(axis=0, keepdims=True)
+    gpair = drop_obs.shape_fluctuation_gamma(axes, kBT)
+    # the reference's formula (cell 24) SUMS over the three pairs
+    pairs = ((0, 1), (1, 2), (0, 2))
+    plus = sum(np.mean((da[:, i] + da[:, j]) ** 2) for i, j in pairs)
+    minus = sum(np.mean((da[:, i] - da[:, j]) ** 2) for i, j in pairs)
     z = np.asarray(zetas)
     g_zeta = drop_obs.zeta_equipartition_gamma(z, kBT)
     gamma_th = 0.01216
     np.savez(os.path.join(cfg.out_dir, "shapefluct.npz"),
-             axes=np.asarray(axes), zeta20=z)
+             axes=axes, eigs=e, rads=np.asarray(rads), zeta20=z)
     return {"phase": "F-shapefluct", "steps": steps,
             "wall_s": round(wall, 1), "n_frames": len(frames) - skip,
-            "gamma_20_axes": round(gpair["gamma_20"], 6),
-            "gamma_22_axes": round(gpair["gamma_22"], 6),
-            # cell 39's check: 2 gamma_theory <zeta_20^2> vs kBT/2
+            "R0": round(r0, 4),
+            # reference cell 25's printed statistics (lattice units):
+            # 0.000129, 0.0265, 0.0133, 0.0131 on its 2301-frame set
+            "mean_abs_da_sum": float(np.abs(da.sum(axis=1)).mean()),
+            "mean_abs_da": [float(x) for x in np.abs(da).mean(axis=0)],
+            "gamma_20_axes_sum": round(15 * kBT / (16 * np.pi * plus), 6),
+            "gamma_22_axes_sum": round(45 * kBT / (16 * np.pi * minus), 6),
+            "gamma_20_axes_mean": round(gpair["gamma_20"], 6),
+            "gamma_22_axes_mean": round(gpair["gamma_22"], 6),
+            # cell 39's check: 2 gamma_theory <zeta_20^2> vs kBT/2; the
+            # reference's OWN saved output is LHS=2.5488e-07 vs 5e-06 —
+            # the idealized equipartition fails 20x on its data too; the
+            # comparable quantity is <zeta_20^2>
             "equipartition_lhs": float(2 * gamma_th * np.mean(z ** 2)),
             "equipartition_rhs": kBT / 2,
+            "reference_saved_lhs": 2.5488e-07,
+            "zeta20_var": float(np.mean(z ** 2)),
+            "reference_zeta20_var": 1.048e-05,
             "gamma_zeta20": round(g_zeta, 6),
-            "gamma_theory": gamma_th,
-            "rel_dev_zeta": round(abs(g_zeta / gamma_th - 1), 4),
-            "zeta20_mean": float(z.mean()), "zeta20_rms": float(
-                np.sqrt(np.mean(z ** 2)))}
+            "gamma_theory": gamma_th}
 
 
 def main():
