@@ -135,11 +135,12 @@ def _capillary_one(out_eq, out_dir, steps, seed, reseed):
     level = 0.5 * (0.1 + 3.0)
 
     def on_frame(step_i, packed):
-        # pull only the x=4 slice the reference's single-slice
-        # convention consumes (tunnel transfers are the bottleneck)
-        rho_slice = np.asarray(packed[0][4])[None, :, :]
-        h = iface.fill_missing(iface.interface_height(rho_slice, level))
-        heights.append((step_i, np.array(h[0, :])))
+        # all 8 x-slices (the field is only 0.5 MB): slice 4 feeds the
+        # reference's single-slice convention, the rest give the
+        # slice-averaged spectrum (better statistics, same estimator)
+        rho = np.asarray(packed[0])
+        h = iface.fill_missing(iface.interface_height(rho, level))
+        heights.append((step_i, np.array(h)))
 
     cfg = preset("interface-fluct").replace(
         nsteps=steps, step_continue=3000,
@@ -150,13 +151,19 @@ def _capillary_one(out_eq, out_dir, steps, seed, reseed):
     run_mod.run(cfg, on_frame=on_frame)
     wall = time.time() - t0
     cut = 3000 + steps // 2  # discard the noise-equilibration transient
-    hs = np.asarray([h for s, h in heights if s > cut])
-    k, s = iface.capillary_spectrum_ref(hs)
+    hs = np.asarray([h for s, h in heights if s > cut])  # (T, 8, Y)
     kBT = 1e-5
+    # reference convention: single x-slice (x=4)
+    k, s = iface.capillary_spectrum_ref(hs[:, 4, :])
     gamma = iface.fit_capillary_gamma_window(k, s, kBT)
+    # slice-averaged: same estimator on every slice, spectra averaged
+    s_all = np.mean([iface.capillary_spectrum_ref(hs[:, x, :])[1]
+                     for x in range(hs.shape[1])], axis=0)
+    gamma_avg = iface.fit_capillary_gamma_window(k, s_all, kBT)
     per_mode = {f"gamma_m{m}": round(float(kBT / (s[m - 1] * k[m - 1] ** 2)),
                                      6)
                 for m in (1, 2, 3, 5, 8)}
+    per_mode["gamma_sliceavg"] = round(gamma_avg, 6)
     return gamma, per_mode, wall, len(hs)
 
 
@@ -189,12 +196,20 @@ def phase_c_ens(args):
     mean = float(gam.mean())
     stderr = float(gam.std(ddof=1) / np.sqrt(len(gam))) if len(gam) > 1 \
         else float("nan")
+    gavg = np.asarray([r["gamma_sliceavg"] for r in runs])
+    mean_avg = float(gavg.mean())
+    stderr_avg = float(gavg.std(ddof=1) / np.sqrt(len(gavg))) \
+        if len(gavg) > 1 else float("nan")
     return {"phase": "C-ens", "steps": steps, "n_runs": n_runs,
             "runs": runs, "gamma_mean": round(mean, 6),
             "gamma_stderr": round(stderr, 6),
+            "gamma_sliceavg_mean": round(mean_avg, 6),
+            "gamma_sliceavg_stderr": round(stderr_avg, 6),
             "gamma_ref": 0.012162,
             "rel_dev": round(abs(mean / 0.012162 - 1), 4),
-            "rel_stderr": round(stderr / 0.012162, 4)}
+            "rel_stderr": round(stderr / 0.012162, 4),
+            "rel_dev_sliceavg": round(abs(mean_avg / 0.012162 - 1), 4),
+            "rel_stderr_sliceavg": round(stderr_avg / 0.012162, 4)}
 
 
 def phase_d(args):
@@ -401,24 +416,41 @@ def phase_e(args):
     return out
 
 
+def _analyze_shape_frame(rho):
+    """Per-frame shape observables (multiprocessing worker)."""
+    from bflbm_tpu.observables import droplet as drop_obs
+
+    com = drop_obs.center_of_mass(rho - rho[0, 0, 0])
+    rad = drop_obs.radius_from_mass(rho)
+    s = drop_obs.gyration_tensor(rho, com)
+    eig = np.sort(np.linalg.eigvalsh(s))[::-1]
+    level = 0.5 * (rho.min() + rho.max())
+    rmap = drop_obs.surface_radius_map(rho, com, level)
+    amps = drop_obs.spherical_harmonic_amplitudes(rmap, lmax=2)
+    return rad, eig, amps[(2, 0)].real
+
+
 def phase_f(args):
     """Droplet shape-fluctuation surface tensions
     (Droplet_Fluctuation.ipynb): principal-axis equipartition
     gamma_(2,0), gamma_(2,+-2) (cells 24-25) and the spherical-harmonic
     zeta_20 equipartition 2 gamma <zeta_20^2> = kBT/2 (cells 35, 39),
-    vs gamma_theory = 0.01216 at alpha0 = 1.5."""
+    vs gamma_theory = 0.01216 at alpha0 = 1.5.  The reference's
+    trajectory (cell 21): init r = 0.25, 32^3, kBT = 1e-5, frames every
+    500 steps, 2301 frames (~1.15M steps); its equilibrium R0 = 7.655
+    by the mass-radius convention (cell 41)."""
     from bflbm_tpu.config import preset
     from bflbm_tpu import run as run_mod
     from bflbm_tpu.observables import droplet as drop_obs
 
-    out_eq = f"{args.out}/droplet-r0.20"  # phase D's alpha0=1.5 r=0.2 run
+    out_eq = f"{args.out}/droplet-r0.25"  # phase D's alpha0=1.5 r=0.25 run
     if not os.path.exists(os.path.join(out_eq, "checkpoint0020000.npz")):
         cfg0 = preset("droplet-eq").replace(nsteps=20_000, plot_int=0,
-                                            init_radius=0.2,
+                                            init_radius=0.25,
                                             out_dir=out_eq)
         run_mod.run(cfg0)
 
-    steps = args.steps or 600_000
+    steps = args.steps or 1_150_000
     frames = []
 
     def on_frame(step_i, packed):
@@ -433,17 +465,14 @@ def phase_f(args):
     wall = time.time() - t0
 
     kBT = 1e-5
-    skip = len(frames) // 4  # noise-equilibration transient
-    eigs, rads, zetas = [], [], []
-    for rho in frames[skip:]:
-        com = drop_obs.center_of_mass(rho - rho[0, 0, 0])
-        rads.append(drop_obs.radius_from_mass(rho))
-        s = drop_obs.gyration_tensor(rho, com)
-        eigs.append(np.sort(np.linalg.eigvalsh(s))[::-1])
-        level = 0.5 * (rho.min() + rho.max())
-        rmap = drop_obs.surface_radius_map(rho, com, level)
-        amps = drop_obs.spherical_harmonic_amplitudes(rmap, lmax=2)
-        zetas.append(amps[(2, 0)].real)
+    skip = len(frames) // 8  # noise-equilibration transient
+    import multiprocessing as mp
+
+    with mp.Pool(8) as pool:
+        rows = pool.map(_analyze_shape_frame, frames[skip:], chunksize=8)
+    rads = [r for r, _, _ in rows]
+    eigs = [e for _, e, _ in rows]
+    zetas = [z for _, _, z in rows]
     # principal semi-axes at FIXED R0 (a per-frame mass-radius injects a
     # common-mode delta R driven by the single-cell center density and
     # swamps the shape signal — the reference's own |d(a+b+c)| ~ 1e-4
