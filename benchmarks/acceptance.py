@@ -529,6 +529,14 @@ def main():
                     "64: the xdg_msd_calc data set)")
     ap.add_argument("--out", default="out/acceptance")
     args = ap.parse_args()
+    # backend-up probe: the tunneled TPU intermittently hangs at init;
+    # this line lets benchmarks/tpu_retry.py detect the hang and retry
+    import jax
+    import jax.numpy as jnp
+
+    val = float(np.asarray(jnp.zeros(())))  # host fetch = real barrier
+    print(f"[backend up: {jax.devices()[0].platform}]", flush=True)
+    assert val == 0.0
     fn = {"a": phase_a, "b": phase_b, "c": phase_c, "c-ens": phase_c_ens,
           "d": phase_d, "d-sweep": phase_d_sweep, "e": phase_e,
           "f": phase_f}
