@@ -42,14 +42,18 @@ hence the physical y pad is 8 although only 2T halo cells are consumed;
 z wraps with in-register rolls.
 
 Noise: amplitudes exactly as ``ops.noise`` (LBM_binary.H:113-127);
-normals are Box-Muller over either the coordinate-keyed hash stream
+the bit source is either the coordinate-keyed hash stream
 (``noise_impl="hash"``, required for all non-final phases) or the TPU
 hardware PRNG seeded per (seed, step, tile) (``"hw"``, final phase
-only).  Both are statistically identical to the jnp path's threefry
-stream but not bitwise equal (the jnp path remains the decomposition-
-invariant reference; parity tests run at kBT=0 where the paths agree to
-round-off, and the blocked/composed factorization is tested bitwise with
-hash noise).
+only), and the normal generator is ``noise_dist="clt4"`` (byte-sum,
+exact first/second moments, no transcendentals — see
+:func:`_clt4_normal`) or ``"bm"`` (Box-Muller, exact Gaussian,
+~3x slower noise phase).  All kernel streams are statistically
+identical to the jnp path's threefry Gaussians for every validated
+fluctuation observable but not bitwise equal (the jnp path remains the
+decomposition-invariant reference; parity tests run at kBT=0 where the
+paths agree to round-off, and the blocked/composed factorization is
+tested bitwise with hash noise).
 """
 
 from __future__ import annotations
