@@ -35,7 +35,7 @@ def phase_a(args):
             "out": cfg.out_dir}
 
 
-def phase_b(args):
+def phase_b(args, kernel: bool = False):
     from bflbm_tpu.config import preset
     from bflbm_tpu import run as run_mod
     from bflbm_tpu.observables import structfact as sf_lib
@@ -47,8 +47,28 @@ def phase_b(args):
         checkpoint_path=f"{args.out}/mixture-eq/checkpoint0000500",
         sf_window=window, sf_every=100, plot_int=0, print_int=steps // 10,
         out_dir=f"{args.out}/mixture-fluct")
+    engine = "auto"
+    if kernel:
+        # kernel-engine variant: validates the IN-KERNEL noise stream
+        # (hw bits + CLT-4 byte-sum normals) against the equilibrium
+        # S(k) equipartition — the jnp 32^3 run uses threefry Gaussians
+        # and never exercises the kernel path.  Shape must be
+        # kernel-tileable (Z % 128 == 0).
+        shape = (64, 64, 128)
+        eq_dir = f"{args.out}/mixture-eq-kernel"
+        if not os.path.exists(os.path.join(eq_dir,
+                                           "checkpoint0000500.npz")):
+            cfg0 = preset("mixture-eq").replace(shape=shape,
+                                                out_dir=eq_dir,
+                                                plot_int=0, t_window=0)
+            run_mod.run(cfg0)
+        cfg = cfg.replace(
+            shape=shape,
+            checkpoint_path=f"{eq_dir}/checkpoint0000500",
+            out_dir=f"{args.out}/mixture-fluct-kernel")
+        engine = "pallas"
     t0 = time.time()
-    state = run_mod.run(cfg)
+    state = run_mod.run(cfg, engine=engine)
     wall = time.time() - t0
 
     sf_files = sorted(glob.glob(os.path.join(cfg.out_dir, "structfact*")))
@@ -66,7 +86,8 @@ def phase_b(args):
             "ufx*ugx": 0.25 * kBT,
             "ufbarx*ufbarx": kBT, "ugbarx*ugbarx": kBT,
             "ubx*ubx": kBT / 2, "uby*uby": kBT / 2, "ubz*ubz": kBT / 2}
-    out = {"phase": "B", "steps": steps, "wall_s": round(wall, 1),
+    out = {"phase": "B-kernel" if kernel else "B", "steps": steps,
+           "wall_s": round(wall, 1),
            "sf_frames": int(window // 100)}
     worst = 0.0
     for p, name in enumerate(names):
@@ -520,7 +541,7 @@ def phase_f(args):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("phase", choices=["a", "b", "c", "c-ens", "d", "d-sweep", "e", "f"])
+    ap.add_argument("phase", choices=["a", "b", "c", "b-kernel", "c-ens", "d", "d-sweep", "e", "f"])
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--n-runs", type=int, default=8)
     ap.add_argument("--alpha0", type=float, default=1.7)
@@ -537,7 +558,11 @@ def main():
     val = float(np.asarray(jnp.zeros(())))  # host fetch = real barrier
     print(f"[backend up: {jax.devices()[0].platform}]", flush=True)
     assert val == 0.0
-    fn = {"a": phase_a, "b": phase_b, "c": phase_c, "c-ens": phase_c_ens,
+    import functools
+
+    fn = {"a": phase_a, "b": phase_b,
+          "b-kernel": functools.partial(phase_b, kernel=True),
+          "c": phase_c, "c-ens": phase_c_ens,
           "d": phase_d, "d-sweep": phase_d_sweep, "e": phase_e,
           "f": phase_f}
     print(json.dumps(fn[args.phase](args)), flush=True)
