@@ -46,14 +46,18 @@ def _chunked(total: int, chunk: int):
 
 
 def run(cfg: RunConfig, *, mesh=None, engine: str = "auto",
-        on_frame: Optional[Callable] = None) -> SimState:
+        on_frame: Optional[Callable] = None,
+        kernel_opts: Optional[dict] = None) -> SimState:
     """Execute a configured run; returns the final state.
 
     mesh: optional jax.sharding.Mesh for multi-device execution (GSPMD).
     engine: 'auto' (fused Pallas kernel on TPU where supported, else
     jnp), 'jnp', 'pallas', or 'halo' (shard_map + ppermute; needs mesh).
     on_frame(step, packed_hydro) is called at plot_int cadence.
+    kernel_opts: optional overrides for the Pallas engines (block, tile,
+    transform, noise_impl, noise_dist) — see kernels.fused_step.
     """
+    kernel_opts = kernel_opts or {}
     p = cfg.params
     state = model.make_initial_state(cfg)
     if mesh is not None:
@@ -131,7 +135,8 @@ def run(cfg: RunConfig, *, mesh=None, engine: str = "auto",
             from .parallel import kernel as kernel_par
 
             if kernel_par.supports(mesh, cfg.shape):
-                run_chunk = kernel_par.make_kernel_nsteps(mesh, p, chunk)
+                run_chunk = kernel_par.make_kernel_nsteps(
+                    mesh, p, chunk, **kernel_opts)
                 is_pallas = True
         if run_chunk is None and engine in ("auto", "pallas") \
                 and not multi:
@@ -140,7 +145,8 @@ def run(cfg: RunConfig, *, mesh=None, engine: str = "auto",
             if (fused_step.supports(cfg.shape)
                     and p.alpha1 == 0.0
                     and on_tpu):
-                run_chunk = fused_step.make_nsteps(p, chunk)
+                run_chunk = fused_step.make_nsteps(p, chunk,
+                                                   **kernel_opts)
                 is_pallas = True
         if run_chunk is None and engine == "halo" and mesh is not None:
             from .parallel import halo as halo_par
@@ -319,6 +325,13 @@ def main(argv=None):
                     help="device mesh shape (x y z)")
     ap.add_argument("--engine", choices=["auto", "jnp", "pallas", "halo"],
                     default="auto")
+    ap.add_argument("--block", type=int, default=None,
+                    help="kernel temporal-blocking depth (default auto)")
+    ap.add_argument("--transform", default=None,
+                    choices=["unrolled", "eo", "mxu"],
+                    help="kernel moment-transform variant")
+    ap.add_argument("--noise-dist", default=None, choices=["clt4", "bm"],
+                    help="kernel normal generator")
     ap.add_argument("--profile-dir", default=None,
                     help="write a jax.profiler trace (TensorBoard/xprof "
                     "format) covering the whole run")
@@ -379,8 +392,13 @@ def main(argv=None):
 
     prof = (jax.profiler.trace(args.profile_dir) if args.profile_dir
             else contextlib.nullcontext())
+    kernel_opts = {k: v for k, v in (("block", args.block),
+                                     ("transform", args.transform),
+                                     ("noise_dist", args.noise_dist))
+                   if v is not None}
     with prof:
-        state = run(cfg, mesh=mesh, engine=args.engine)
+        state = run(cfg, mesh=mesh, engine=args.engine,
+                    kernel_opts=kernel_opts)
     print(json.dumps({"final_step": int(state.step),
                       "out_dir": cfg.out_dir}))
 
