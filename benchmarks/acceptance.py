@@ -181,10 +181,21 @@ def _capillary_one(out_eq, out_dir, steps, seed, reseed):
     s_all = np.mean([iface.capillary_spectrum_ref(hs[:, x, :])[1]
                      for x in range(hs.shape[1])], axis=0)
     gamma_avg = iface.fit_capillary_gamma_window(k, s_all, kBT)
+    # kx=0 estimator: the x-AVERAGED height's spectrum is the pure
+    # (kx=0, ky) capillary mode.  A single slice's spectrum is the sum
+    # over kx modes — the kx=0 term (= the x-average, identical
+    # normalization since the interface is x-coherent at long
+    # wavelength over Lx=8) plus a ky-independent noise floor from
+    # kx != 0, which biases the k^4-weighted window fit low.
+    k2d, s2d = iface.capillary_spectrum_ref(hs.mean(axis=1))
+    gamma_xavg = iface.fit_capillary_gamma_window(k2d, s2d, kBT)
+    np.save(os.path.join(out_dir, "spectrum.npy"),
+            np.stack([k, s, s_all, s2d]))
     per_mode = {f"gamma_m{m}": round(float(kBT / (s[m - 1] * k[m - 1] ** 2)),
                                      6)
                 for m in (1, 2, 3, 5, 8)}
     per_mode["gamma_sliceavg"] = round(gamma_avg, 6)
+    per_mode["gamma_xavg"] = round(gamma_xavg, 6)
     return gamma, per_mode, wall, len(hs)
 
 
@@ -205,10 +216,10 @@ def phase_c_ens(args):
     n_runs = args.n_runs
     gammas, runs = [], []
     for i in range(n_runs):
-        seed = 20_000 + 7919 * i
+        seed = args.seed_base + 7919 * i
         g, per_mode, wall, n_frames = _capillary_one(
-            out_eq, f"{args.out}/interface-ens-{i}", steps, seed,
-            reseed=True)
+            out_eq, f"{args.out}/interface-ens-{args.seed_base}-{i}",
+            steps, seed, reseed=True)
         gammas.append(g)
         runs.append({"seed": seed, "gamma": round(g, 6), **per_mode,
                      "wall_s": round(wall, 1), "n_frames": n_frames})
@@ -545,6 +556,7 @@ def main():
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--n-runs", type=int, default=8)
     ap.add_argument("--alpha0", type=float, default=1.7)
+    ap.add_argument("--seed-base", type=int, default=20_000)
     ap.add_argument("--size", type=int, default=32,
                     help="phase e domain edge (32: system_unit droplet; "
                     "64: the xdg_msd_calc data set)")
