@@ -191,6 +191,13 @@ def _capillary_one(out_eq, out_dir, steps, seed, reseed):
     gamma_xavg = iface.fit_capillary_gamma_window(k2d, s2d, kBT)
     np.save(os.path.join(out_dir, "spectrum.npy"),
             np.stack([k, s, s_all, s2d]))
+    # per-frame mode amplitudes (slice 4 + x-average), m = 0..32: the
+    # raw material for autocorrelation-time measurement and exact
+    # finite-window mean-subtraction debiasing in the analysis
+    hk_slice = np.fft.fft(hs[:, 4, :], axis=1)[:, :33]
+    hk_xavg = np.fft.fft(hs.mean(axis=1), axis=1)[:, :33]
+    np.save(os.path.join(out_dir, "hk_series.npy"),
+            np.stack([hk_slice, hk_xavg], axis=1))
     per_mode = {f"gamma_m{m}": round(float(kBT / (s[m - 1] * k[m - 1] ** 2)),
                                      6)
                 for m in (1, 2, 3, 5, 8)}
