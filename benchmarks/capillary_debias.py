@@ -57,7 +57,8 @@ def process_run(path):
     for ch, name in ((0, "slice"), (1, "xavg")):
         s_meas, s_corr, g_eff, stderr = [], [], [], []
         for m in range(33):
-            a = hk[:, ch, m] / NY  # backward-norm convention
+            a = hk[:, ch, m]  # raw backward-norm FFT (the reference's
+            #                   cell 9 convention: no 1/N scaling)
             g = autocorr_g(a)
             var = np.mean(np.abs(a - a.mean()) ** 2)
             corr = var / max(1e-9, (1.0 - g / T))
