@@ -1011,7 +1011,7 @@ def _step_kernel(params: LBMParams, shape, gdomain, bx, by, block,
 
 
 def _fused_step_call(params: LBMParams, shape, tile, noise_on,
-                     seed, fc, gc, mode="auto", transform="unrolled",
+                     seed, fc, gc, mode="auto", transform="eo",
                      block=1, noise_impl="hw", noise_dist="clt4",
                      gdomain=None, ext_mode=False, interpret=False):
     """`block` K-steps over the (local) domain `shape`.
@@ -1055,7 +1055,7 @@ def _fused_step_call(params: LBMParams, shape, tile, noise_on,
 
 def fused_stream_collide(state: SimState, params: LBMParams,
                          tile=None, mode="auto",
-                         transform="unrolled", block=1,
+                         transform="eo", block=1,
                          noise_impl="hw",
                          noise_dist="clt4") -> SimState:
     """`block` K = collide o stream updates in post-collide state space."""
@@ -1078,7 +1078,7 @@ def fused_stream_collide(state: SimState, params: LBMParams,
 
 
 def make_nsteps(params: LBMParams, n: int, tile=None, force: bool = False,
-                mode: str = "auto", transform: str = "unrolled",
+                mode: str = "auto", transform: str = "eo",
                 perm=None, block=None, noise_impl: str = "hw",
                 noise_dist: str = "clt4"):
     """n standard steps via the fused kernel.

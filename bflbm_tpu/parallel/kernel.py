@@ -67,7 +67,7 @@ def supports(mesh: Mesh, shape) -> bool:
 
 def make_kernel_nsteps(mesh: Mesh, params: LBMParams, n: int,
                        block: int = 2, tile=None, mode: str = "auto",
-                       transform: str = "unrolled",
+                       transform: str = "eo",
                        noise_impl: str = "hw", noise_dist: str = "clt4",
                        interpret: bool = False,
                        donate: bool = True):
