@@ -225,7 +225,41 @@ def gen_clt4_hash(word, step):
     return _clt4(words, 2 * NPAIR)
 
 
+def gen_clt4_hash_1mul(word, step):
+    """Hash bits with a single-multiply second-stage mix + CLT-4."""
+    h1 = _mix32(_cellwords(word))
+    unit = (1, 1, 1)
+    sbase = step * jnp.int32(64)
+    words = []
+    for a in range(2 * NPAIR):
+        cnt = jnp.full(unit, (sbase + a) * jnp.int32(_GOLD_I32), jnp.int32)
+        x = h1 + _u32(cnt)
+        x = x ^ (x >> 16)
+        x = x * jnp.uint32(0x7FEB352D)
+        x = x ^ (x >> 15)
+        words.append(_i32(x))
+    return _clt4(words, 2 * NPAIR)
+
+
+def gen_clt4_hash_nomul(word, step):
+    """Hash bits with an add-xor-rotate second stage (no multiplies)."""
+    h1 = _mix32(_cellwords(word))
+    unit = (1, 1, 1)
+    sbase = step * jnp.int32(64)
+    words = []
+    for a in range(2 * NPAIR):
+        cnt = jnp.full(unit, (sbase + a) * jnp.int32(_GOLD_I32), jnp.int32)
+        x = h1 + _u32(cnt)
+        for kk in (13, 17, 7):
+            x = x + _rotl(x, kk)
+            x = x ^ (x >> 9)
+        words.append(_i32(x))
+    return _clt4(words, 2 * NPAIR)
+
+
 CASES = {
+    "clt4_hash_1mul": gen_clt4_hash_1mul,
+    "clt4_hash_nomul": gen_clt4_hash_nomul,
     "clt4_hw": gen_clt4_hw,
     "clt4_hash": gen_clt4_hash,
     "hw": gen_hw,

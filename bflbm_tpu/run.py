@@ -185,7 +185,8 @@ def run(cfg: RunConfig, *, mesh=None, engine: str = "auto",
     first = int(state.step)
     if cfg.plot_int > 0 and cfg.step_continue == 0:
         packed = hydro_only(state)
-        fields_io.write_frame(cfg.out_dir, first, packed)
+        if cfg.plot_save:
+            fields_io.write_frame(cfg.out_dir, first, packed)
         if on_frame:
             on_frame(first, packed)
 

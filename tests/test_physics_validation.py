@@ -158,6 +158,37 @@ def test_run_loop_with_sf_accumulation(tmp_path):
     assert int(state2.step) == 50
 
 
+def test_run_plot_save_off_and_reseed(tmp_path):
+    """plot_save=False drives on_frame without disk frames; reseed
+    branches independent noise streams from one shared checkpoint
+    (the independent-ensemble protocol of acceptance.py c-ens)."""
+    import os
+
+    from bflbm_tpu import run as run_mod
+    from bflbm_tpu.config import RunConfig
+
+    cfg = RunConfig(
+        shape=(8, 8, 8), params=LBMParams(alpha0=0.0, kBT=1e-4),
+        nsteps=20, plot_int=10, plot_save=False,
+        out_dir=str(tmp_path / "eq"), init="mixture",
+    )
+    seen = []
+    run_mod.run(cfg, on_frame=lambda s, p: seen.append(s))
+    assert seen == [0, 10, 20]
+    assert not any(f.startswith("plt")
+                   for f in os.listdir(cfg.out_dir))
+    ckpt = str(tmp_path / "eq" / "checkpoint0000020")
+    base = cfg.replace(init="checkpoint", checkpoint_path=ckpt,
+                       step_continue=20, nsteps=10, plot_int=0)
+    outs = []
+    for i, seed in enumerate((111, 222, 111)):
+        c = base.replace(seed=seed, reseed=True,
+                         out_dir=str(tmp_path / f"br{i}"))
+        outs.append(np.asarray(run_mod.run(c).f))
+    assert not np.allclose(outs[0], outs[1])   # different seeds branch
+    np.testing.assert_array_equal(outs[0], outs[2])  # same seed repeats
+
+
 def test_engines_agree(tmp_path):
     """run() through jnp and halo engines produces identical physics
     (same RNG protocol; GSPMD/jnp vs shard_map + ppermute)."""
