@@ -19,6 +19,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# persistent compile cache: the interpret-mode kernel graphs dominate
+# suite runtime (~80 s XLA:CPU compiles); repeat runs hit the cache
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("BFLBM_JAX_CACHE",
+                                 "/tmp/bflbm_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import pytest  # noqa: E402
 
