@@ -97,7 +97,8 @@ def run(cfg: RunConfig, *, mesh=None, engine: str = "auto",
                          donate_argnums=0)
     hydro_only = jax.jit(
         lambda s: hydro_ops.pack(model.prelude(s, p, ref_state)[0]))
-    noise_only = jax.jit(lambda s: model.prelude(s, p, ref_state)[1:3])         if cfg.out_noise_int > 0 else None
+    noise_only = (jax.jit(lambda s: model.prelude(s, p, ref_state)[1:3])
+                  if cfg.out_noise_int > 0 else None)
 
     # Fast bulk advancement: between observable events, advance `chunk`
     # steps at once through the selected engine (fused Pallas kernel on
