@@ -34,8 +34,25 @@ def _frames(out_dir: str) -> List[str]:
     fr = sorted(glob.glob(os.path.join(out_dir, "plt*.npz"))
                 + glob.glob(os.path.join(out_dir, "plt*.bflbm")))
     if not fr:
+        # frame-less runs (plot_int=0): fall back to the final
+        # checkpoint — read_frame-compatible fields are synthesized in
+        # _read_any below
+        ck = sorted(glob.glob(os.path.join(out_dir, "checkpoint*.npz")))
+        ck = [c for c in ck if "abort" not in os.path.basename(c)]
+        if ck:
+            return [ck[-1]]
         raise FileNotFoundError(f"no plt* frames in {out_dir}")
     return fr
+
+
+def _read_any(path: str) -> Dict:
+    """read_frame, or densities synthesized from a checkpoint's
+    populations (rho = sum_i f_i)."""
+    if os.path.basename(path).startswith("checkpoint"):
+        with np.load(path) as d:
+            return {"rho": d["f"].sum(axis=0), "phi": d["g"].sum(axis=0),
+                    "step": d["step"]}
+    return fields_io.read_frame(path)
 
 
 def _load_sf(out_dir: str):
@@ -73,7 +90,7 @@ def cmd_sk(args) -> Dict:
         frames = _frames(args.dir)[args.skip:]
         acc = None
         for f in frames:
-            d = fields_io.read_frame(f)
+            d = _read_any(f)
             p = np.abs(np.fft.fftn(d["rho"] - d["rho"].mean())) ** 2 \
                 / d["rho"].size
             acc = p if acc is None else acc + p
@@ -88,18 +105,18 @@ def cmd_sk(args) -> Dict:
 def cmd_interface(args) -> Dict:
     """Capillary-wave spectrum gamma (Flat_Interface.ipynb cells 4-10)."""
     frames = _frames(args.dir)[args.skip:]
-    first = fields_io.read_frame(frames[0])
+    first = _read_any(frames[0])
     rho_lo = float(first["rho"].min())
     rho_hi = float(first["rho"].max())
     level = 0.5 * (rho_lo + rho_hi)
     heights = []
     for f in frames:
-        d = fields_io.read_frame(f)
+        d = _read_any(f)
         heights.append(iface_obs.fill_missing(
             iface_obs.interface_height(d["rho"], level)))
     k, s = iface_obs.capillary_spectrum(np.asarray(heights), axis=1)
     gamma = iface_obs.fit_capillary_gamma(k, s, args.kBT, kmax=args.kmax)
-    prof = iface_obs.mean_profile(fields_io.read_frame(frames[-1])["rho"])
+    prof = iface_obs.mean_profile(_read_any(frames[-1])["rho"])
     z0, w = iface_obs.profile_interface_width(prof, rho_lo, rho_hi)
     return {"gamma_capillary": gamma, "n_frames": len(frames),
             "interface_z0": z0, "interface_width": w,
@@ -114,7 +131,7 @@ def cmd_droplet(args) -> Dict:
     axes = []
     coms = []
     for f in frames:
-        d = fields_io.read_frame(f)
+        d = _read_any(f)
         rho = d["rho"]
         excess = rho - rho[0, 0, 0]
         com = drop_obs.center_of_mass(excess)
@@ -123,7 +140,7 @@ def cmd_droplet(args) -> Dict:
         fits.append(fit)
         r_mass = drop_obs.radius_from_mass(rho)
         axes.append(drop_obs.principal_radii(excess, com, r_mass))
-    last = fields_io.read_frame(frames[-1])
+    last = _read_any(frames[-1])
     dp = drop_obs.laplace_delta_p(last["rho"], last["phi"], args.alpha0,
                                   coms[-1])
     out = {
@@ -147,7 +164,7 @@ def cmd_laplace(args) -> Dict:
     per_run = []
     for d in args.dirs:
         frames = _frames(d)
-        last = fields_io.read_frame(frames[-1])
+        last = _read_any(frames[-1])
         rho, phi = last["rho"], last["phi"]
         excess = rho - rho[0, 0, 0]
         com = drop_obs.center_of_mass(excess)
@@ -167,13 +184,13 @@ def cmd_msd(args) -> Dict:
     coms = []
     r_means = []
     for f in frames:
-        d = fields_io.read_frame(f)
+        d = _read_any(f)
         rho = d["rho"]
         excess = rho - rho[0, 0, 0]
         coms.append(drop_obs.center_of_mass(excess))
         steps.append(int(d["step"]))
         r_means.append(drop_obs.radius_from_mass(rho))
-    shape = fields_io.read_frame(frames[0])["rho"].shape
+    shape = _read_any(frames[0])["rho"].shape
     traj = msd_obs.unwrap_periodic(np.asarray(coms), shape)
     ts, m = msd_obs.msd(np.asarray(steps, float), traj,
                         tmax=max(4, len(frames) // 4))
