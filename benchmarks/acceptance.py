@@ -1,15 +1,22 @@
 """Acceptance physics runs — the reference's headline validations at full
 scale on TPU (BASELINE.md):
 
-  A. mixture equilibration (two-phase protocol entry)
-  B. fluctuating mixture -> equilibrium structure factors S(k) flat at
-     the Mixture.ipynb normalizations (target: within 1%)
-  C. flat interface -> capillary-wave spectrum gamma (target: 0.012162)
-  D. droplet radius sweep -> Laplace-law gamma slope + equilibrium radii
-     (target radii R/L: 0.176, 0.204, 0.231, 0.257, 0.283)
+  A.        mixture equilibration (two-phase protocol entry)
+  B.        fluctuating mixture -> equilibrium S(k) flat at the
+            Mixture.ipynb normalizations (target: within 1%)
+  b-kernel  same through the fused kernel's CLT-4 noise stream
+  C.        flat interface -> capillary-wave spectrum
+  c-ens     independent-seed capillary ensemble (+ mode series for
+            benchmarks/capillary_debias.py)
+  D.        droplet radius sweep -> Laplace slope + equilibrium radii
+            (reference pinned R/L: 0.176, 0.204, 0.231, 0.257, 0.283)
+  d-sweep   alpha0 in {0.8, 1.7, 2.0, 2.5} Laplace sweeps
+  E.        droplet Brownian MSD / Stokes-Einstein (--size 32|64)
+  F.        droplet shape fluctuations (zeta_20, principal axes)
 
 Usage: python benchmarks/acceptance.py <phase> [--steps N] [--out DIR]
-Each phase prints one JSON line with its results.
+Each phase prints one JSON line with its results.  Long phases should
+run under benchmarks/tpu_retry.py (tunnel-init hangs).
 """
 
 import argparse
