@@ -132,6 +132,7 @@ def main():
             "per_mode": per_mode,
         }
     print(json.dumps(result))
+    os.makedirs("out/acceptance2", exist_ok=True)
     with open("out/acceptance2/capillary_debias.json", "w") as fh:
         json.dump(result, fh, indent=1)
 
