@@ -423,35 +423,50 @@ def phase_e(args):
         out = np.asarray(reduce_frame(packed[0]))
         rows.append((step_i, out[0], out[1], out[2], out[3]))
 
-    cfg = preset("droplet-msd-fluct").replace(
-        shape=(n, n, n), nsteps=steps,
-        checkpoint_path=f"{out_eq}/checkpoint0020000",
-        plot_save=False, print_int=steps // 10,
-        out_dir=f"{args.out}/droplet-msd-fluct{n}")
-    t0 = time.time()
-    run_mod.run(cfg, on_frame=on_frame)
-    wall = time.time() - t0
-
-    arr = np.asarray(rows[1:])  # drop frame 0 like the notebook
-    np.save(os.path.join(cfg.out_dir, "msd_rows.npy"), arr)
-    steps_f, r_mass, coms = arr[:, 0], arr[:, 1], arr[:, 2:5]
-    traj = msd_obs.unwrap_periodic(coms, cfg.shape)
-    tau = 100  # frame lags (the notebook's tau)
-    ts, m = msd_obs.msd(steps_f, traj, tau)
-    d_fit = float(np.polyfit(ts, m, 1)[0] / 6.0)
-    R = float(r_mass.mean())
     eta = 1.0 * (1.0 / 3.0) * (1.0 - 0.5)  # rho0 cs2 (tau_r - 1/2)
-    d_se = msd_obs.stokes_einstein(R, float(min(cfg.shape)), eta, 5e-5)
+    tau = 100  # frame lags (the notebook's tau)
+    t0 = time.time()
+    d_fits, r_list, runs = [], [], []
+    for i in range(args.n_runs):
+        rows.clear()
+        cfg = preset("droplet-msd-fluct").replace(
+            shape=(n, n, n), nsteps=steps,
+            checkpoint_path=f"{out_eq}/checkpoint0020000",
+            plot_save=False, print_int=steps // 10,
+            seed=args.seed_base + 7919 * i, reseed=args.n_runs > 1,
+            out_dir=f"{args.out}/droplet-msd-fluct{n}-{i}"
+            if args.n_runs > 1 else f"{args.out}/droplet-msd-fluct{n}")
+        run_mod.run(cfg, on_frame=on_frame)
+        arr = np.asarray(rows[1:])  # drop frame 0 like the notebook
+        np.save(os.path.join(cfg.out_dir, "msd_rows.npy"), arr)
+        steps_f, r_mass, coms = arr[:, 0], arr[:, 1], arr[:, 2:5]
+        traj = msd_obs.unwrap_periodic(coms, cfg.shape)
+        ts, m = msd_obs.msd(steps_f, traj, tau)
+        d_fits.append(float(np.polyfit(ts, m, 1)[0] / 6.0))
+        r_list.append(float(r_mass.mean()))
+        runs.append({"seed": cfg.seed, "D_fit": d_fits[-1],
+                     "R": round(r_list[-1], 4)})
+        if args.n_runs > 1:
+            print(json.dumps({"msd_run": i, **runs[-1]}), flush=True)
+    wall = time.time() - t0
+    d_fit = float(np.mean(d_fits))
+    R = float(np.mean(r_list))
+    d_se = msd_obs.stokes_einstein(R, float(n), eta, 5e-5)
     # physical units (system_unit.ipynb cell 0)
     dx, dt = 1.613e-9, 0.250e-12
     d_fit_st = d_fit * dx * dx / dt * 1e4  # m^2/s -> St (cm^2/s)
-    out = {"phase": f"E-msd-{n}", "steps": steps,
+    out = {"phase": f"E-msd-{n}", "steps": steps, "n_runs": args.n_runs,
            "wall_s": round(wall, 1),
-           "n_frames": len(arr), "R_mass_mean": round(R, 4),
+           "n_frames": int(steps // 100), "R_mass_mean": round(R, 4),
            "P_factor": round(1 - 2.84 * R / n, 4),
            "D_fit": d_fit, "D_se": d_se,
            "rel_diff": round((d_fit - d_se) / d_se, 4),
            "D_fit_stokes": d_fit_st}
+    if args.n_runs > 1:
+        stderr = float(np.std(d_fits, ddof=1) / np.sqrt(len(d_fits)))
+        out["D_fit_stderr"] = stderr
+        out["ratio_stderr"] = round(stderr / d_se, 4)
+        out["runs"] = runs
     if n == 64:
         # the notebook's saved output on its own 64^3 data set
         out["reference_saved"] = {"Dse": 9.2952e-07, "Db": 9.6660e-07,
