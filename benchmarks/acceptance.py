@@ -517,10 +517,13 @@ def phase_f(args):
     def on_frame(step_i, packed):
         frames.append(np.asarray(packed[0]))  # 32^3 rho, 131 KB
 
+    reseed = args.seed_base != 20_000
     cfg = preset("droplet-fluct").replace(
         nsteps=steps, checkpoint_path=f"{out_eq}/checkpoint0020000",
         plot_int=500, plot_save=False, print_int=steps // 10,
-        out_dir=f"{args.out}/droplet-shapefluct")
+        seed=args.seed_base, reseed=reseed,
+        out_dir=f"{args.out}/droplet-shapefluct"
+        + (f"-{args.seed_base}" if reseed else ""))
     t0 = time.time()
     run_mod.run(cfg, on_frame=on_frame)
     wall = time.time() - t0
