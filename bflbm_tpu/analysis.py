@@ -32,7 +32,8 @@ CS2 = 1.0 / 3.0
 
 def _frames(out_dir: str) -> List[str]:
     fr = sorted(glob.glob(os.path.join(out_dir, "plt*.npz"))
-                + glob.glob(os.path.join(out_dir, "plt*.bflbm")))
+                + glob.glob(os.path.join(out_dir, "plt*.bflbm"))
+                + glob.glob(os.path.join(out_dir, "plt*.h5")))
     if not fr:
         # frame-less runs (plot_int=0): fall back to the final
         # checkpoint — read_frame-compatible fields are synthesized in

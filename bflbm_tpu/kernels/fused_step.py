@@ -837,18 +837,23 @@ def _step_kernel(params: LBMParams, shape, gdomain, bx, by, block,
         # hash/PRNG + Box-Muller work fills the core's otherwise-idle
         # DMA stall.
         dtype = fout_hbm.dtype
-        word = seed_ref[0]
-        step0 = seed_ref[1]
+        # seed layout: [word_0 .. word_{block-1}, step0, (ox, oy)] — one
+        # independently-drawn word per PHYSICAL step, so the hash noise
+        # stream is bitwise identical across block sizes (the key
+        # trajectory advances once per step in fused_stream_collide /
+        # parallel.kernel regardless of blocking).
+        step0 = seed_ref[block]
         # shard origin (global coords of local cell (0, 0)): nonzero only
         # under the shard_map path
-        ox0 = seed_ref[2] if ext_mode else jnp.int32(0)
-        oy0 = seed_ref[3] if ext_mode else jnp.int32(0)
+        ox0 = seed_ref[block + 1] if ext_mode else jnp.int32(0)
+        oy0 = seed_ref[block + 2] if ext_mode else jnp.int32(0)
         phase_normals = [None] * block
 
         def gen_normals(s):
             """Normals for phase s on its compute region."""
             p_s = 2 * (block - 1 - s)
             region = (bx + 2 * p_s, by + 2 * p_s, Z)
+            word = seed_ref[s]
             if s < block - 1 or noise_impl == "hash":
                 origin = (ox0 + i * bx - p_s, oy0 + j * by - p_s)
                 return hash_normals(word, step0 + s, origin, region,
@@ -1016,8 +1021,9 @@ def _fused_step_call(params: LBMParams, shape, tile, noise_on,
                      gdomain=None, ext_mode=False, interpret=False):
     """`block` K-steps over the (local) domain `shape`.
 
-    seed = int32 [word, step] (periodic mode) or
-    [word, step, origin_x, origin_y] (ext/shard mode, see _step_kernel).
+    seed = int32 [word_0..word_{block-1}, step] (periodic mode) or
+    [words..., step, origin_x, origin_y] (ext/shard mode, see
+    _step_kernel) — one random word per physical step.
     In ext_mode fc/gc are pre-extended local blocks of shape
     (Q, X + 4*block, Y + 2*_PY, Z); outputs are interior-shaped.
     """
@@ -1061,16 +1067,19 @@ def fused_stream_collide(state: SimState, params: LBMParams,
     """`block` K = collide o stream updates in post-collide state space."""
     shape = tuple(state.f.shape[1:])
     tile = tile or _choose_tile(shape, block)
-    # advance the key once per physical step so the key trajectory is
-    # identical across engines and block sizes (checkpoint/resume
-    # reproducibility)
+    # advance the key once per physical step — and draw one word per
+    # step from the per-step splits — so BOTH the key trajectory and the
+    # hash noise stream are identical across engines and block sizes
+    # (checkpoint/resume reproducibility; bitwise block-invariance is
+    # tested for noise_impl="hash" in tests/test_fused_kernel.py)
     key = state.key
+    words = []
     for _ in range(block):
         key, sub = jax.random.split(key)
-    word = jax.random.randint(sub, (1,), minval=jnp.iinfo(jnp.int32).min,
-                              maxval=jnp.iinfo(jnp.int32).max,
-                              dtype=jnp.int32)
-    seed = jnp.concatenate([word, state.step.astype(jnp.int32)[None]])
+        words.append(jax.random.randint(
+            sub, (1,), minval=jnp.iinfo(jnp.int32).min,
+            maxval=jnp.iinfo(jnp.int32).max, dtype=jnp.int32))
+    seed = jnp.concatenate(words + [state.step.astype(jnp.int32)[None]])
     fo, go = _fused_step_call(params, shape, tile, params.noise_on,
                               seed, state.f, state.g, mode, transform,
                               block, noise_impl, noise_dist)

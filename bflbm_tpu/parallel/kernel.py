@@ -55,14 +55,17 @@ def local_shape(mesh: Mesh, shape):
     return tuple(s // m for s, m in zip(shape, sizes))
 
 
-def supports(mesh: Mesh, shape) -> bool:
+def supports(mesh: Mesh, shape, block: int = 2) -> bool:
     """True when the shard_map kernel path can run this global shape on
-    this mesh (z unsharded, kernel-tileable local blocks)."""
+    this mesh (z unsharded, kernel-tileable local blocks, and local
+    extents deep enough for the 2*block x halo / _PY y halo the
+    ppermute exchange appends)."""
     try:
         loc = local_shape(mesh, shape)
     except ValueError:
         return False
-    return mesh.shape["z"] == 1 and supports_shape(loc)
+    return (mesh.shape["z"] == 1 and supports_shape(loc)
+            and loc[0] >= 2 * block and loc[1] >= _PY)
 
 
 def make_kernel_nsteps(mesh: Mesh, params: LBMParams, n: int,
@@ -93,7 +96,7 @@ def make_kernel_nsteps(mesh: Mesh, params: LBMParams, n: int,
         px = 2 * T
         Xl, Yl = shape_loc[0], shape_loc[1]
 
-        def local_sweep(f_loc, g_loc, word, step0):
+        def local_sweep(f_loc, g_loc, words, step0):
             f_ext, g_ext = f_loc, g_loc
             f_ext = halo_par.exchange_halo(f_ext, "x", 1, px)
             g_ext = halo_par.exchange_halo(g_ext, "x", 1, px)
@@ -101,7 +104,8 @@ def make_kernel_nsteps(mesh: Mesh, params: LBMParams, n: int,
             g_ext = halo_par.exchange_halo(g_ext, "y", 2, _PY)
             ox0 = (jax.lax.axis_index("x") * Xl).astype(jnp.int32)
             oy0 = (jax.lax.axis_index("y") * Yl).astype(jnp.int32)
-            seed = jnp.stack([word, step0, ox0, oy0])
+            seed = jnp.concatenate(
+                [words, jnp.stack([step0, ox0, oy0])])
             return _fused_step_call(
                 params, shape_loc, tl, params.noise_on, seed,
                 f_ext, g_ext, mode, transform, T, noise_impl,
@@ -124,6 +128,12 @@ def make_kernel_nsteps(mesh: Mesh, params: LBMParams, n: int,
             raise ValueError(
                 f"local block {shape_loc} not kernel-tileable "
                 "(need Z % 128 == 0, Y_local % 8 == 0)")
+        if shape_loc[0] < 2 * max(1, min(block, n - 1)) \
+                or shape_loc[1] < _PY:
+            raise ValueError(
+                f"local block {shape_loc} too shallow for the halo "
+                f"exchange (need X_local >= {2 * block}, "
+                f"Y_local >= {_PY}); use a coarser mesh or block=1")
 
         # enter post-collide space (jnp prelude + collide, GSPMD-sharded)
         h, xi_f, xi_g, key = model.prelude(state, params)
@@ -137,13 +147,17 @@ def make_kernel_nsteps(mesh: Mesh, params: LBMParams, n: int,
         def make_body(sweep_sm, T_):
             def body(carry, _):
                 f, g, key, step = carry
+                # one word per physical step (drawn from the per-step key
+                # splits) — hash noise stream bitwise-invariant to T
                 k = key
+                words = []
                 for _ in range(T_):
                     k, sub = jax.random.split(k)
-                word = jax.random.randint(
-                    sub, (), minval=jnp.iinfo(jnp.int32).min,
-                    maxval=jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
-                f, g = sweep_sm(f, g, word, step.astype(jnp.int32))
+                    words.append(jax.random.randint(
+                        sub, (), minval=jnp.iinfo(jnp.int32).min,
+                        maxval=jnp.iinfo(jnp.int32).max, dtype=jnp.int32))
+                f, g = sweep_sm(f, g, jnp.stack(words),
+                                step.astype(jnp.int32))
                 return (f, g, k, step + T_), None
             return body
 

@@ -24,14 +24,20 @@ def make_mesh(mesh_shape: Optional[Sequence[int]] = None,
               devices=None) -> Mesh:
     """Build a mesh over the spatial axes.
 
-    mesh_shape: per-axis device counts, e.g. (1, 2, 4).  Defaults to all
-    devices along z (slab decomposition — the fewest halo exchanges and
-    contiguous lane tiles on TPU).
+    mesh_shape: per-axis device counts, e.g. (4, 2, 1).  Defaults to all
+    devices along x (slab decomposition along the MAJOR-most axis): the
+    production fused-kernel path (:mod:`bflbm_tpu.parallel.kernel`)
+    keeps z resident per tile (in-register lane wraps) and exchanges
+    x/y halos, so an x-major default routes multi-chip runs onto the
+    fast path — a z-sharded mesh would silently degrade `--engine auto`
+    to the jnp chunk engine.  The reference decomposes any axis
+    (BoxArray.maxSize, main_run_job.cpp:140-143); here every layout is
+    supported but x/y layouts are the performant ones.
     """
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if mesh_shape is None:
-        mesh_shape = (1, 1, n)
+        mesh_shape = (n, 1, 1)
     if int(np.prod(mesh_shape)) != n:
         raise ValueError(f"mesh_shape {mesh_shape} != {n} devices")
     dev = np.asarray(devices).reshape(mesh_shape)

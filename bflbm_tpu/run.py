@@ -135,10 +135,21 @@ def run(cfg: RunConfig, *, mesh=None, engine: str = "auto",
             # shard_map with ppermute halo exchange (parallel/kernel.py)
             from .parallel import kernel as kernel_par
 
-            if kernel_par.supports(mesh, cfg.shape):
+            if kernel_par.supports(mesh, cfg.shape,
+                                   kernel_opts.get("block", 2)):
                 run_chunk = kernel_par.make_kernel_nsteps(
                     mesh, p, chunk, **kernel_opts)
                 is_pallas = True
+            else:
+                import warnings
+
+                warnings.warn(
+                    f"mesh {dict(mesh.shape)} cannot run the fused-kernel "
+                    f"shard_map path for domain {cfg.shape} (needs z "
+                    "unsharded, local Z % 128 == 0, local Y % 8 == 0, "
+                    "local X >= 2*block) — falling back to the MUCH "
+                    "slower jnp chunk engine; prefer x/y-sharded meshes "
+                    "(the make_mesh default)", stacklevel=2)
         if run_chunk is None and engine in ("auto", "pallas") \
                 and not multi:
             from .kernels import fused_step
@@ -158,15 +169,15 @@ def run(cfg: RunConfig, *, mesh=None, engine: str = "auto",
             f"engine {engine!r} unavailable for this configuration"
             + (f" (event cadences collapse chunks to {chunk} step(s); "
                "chunk engines need chunk > 2)" if chunk <= 2 else ""))
-    if is_pallas and cfg.out_noise_int > 0:
-        import warnings
-
-        warnings.warn(
-            "noise dumps under the Pallas engine describe a fresh threefry "
-            "stream derived from the state key, NOT the hardware-PRNG draws "
-            "the trajectory actually consumed (statistically identical; do "
-            "not cross-check dumped noise against this trajectory "
-            "frame-by-frame)", stacklevel=2)
+    # Noise dumps (WriteOutNoise analog, Debug.H:381-409) are EXACT for
+    # every dumped step under every engine: out_noise_int divides the
+    # chunk size (gcd above), so each dump lands on a chunk boundary
+    # where `noise_only(state)` draws the same threefry split the next
+    # chunk's first step consumes (the kernel engines enter post-collide
+    # space through one jnp prelude+collide — fused_step.make_nsteps).
+    # Non-dumped steps inside a kernel chunk use the in-kernel hash/HW
+    # streams, which are not dumped — same cadence semantics as the
+    # reference, whose WriteOutNoise only writes every out_noise_step.
     if run_chunk is None and chunk > 1:
         def _scan_chunk(s):
             def body(st, _):
@@ -200,66 +211,72 @@ def run(cfg: RunConfig, *, mesh=None, engine: str = "auto",
     t0 = time.perf_counter()
     last = cfg.step_continue + cfg.nsteps
     step_i = first
-    while step_i < last:
-        n = min(chunk, last - step_i)
-        if run_chunk is not None and n == chunk:
-            state = run_chunk(state)
-        else:
-            for _ in range(n):
-                state = step_plain(state)
-        step_i += n
+    try:
+        while step_i < last:
+            n = min(chunk, last - step_i)
+            if run_chunk is not None and n == chunk:
+                state = run_chunk(state)
+            else:
+                for _ in range(n):
+                    state = step_plain(state)
+            step_i += n
 
-        if noise_only is not None and step_i % cfg.out_noise_int == 0:
-            xi_f, xi_g = noise_only(state)
-            fields_io.write_noise_frame(cfg.out_dir, step_i, xi_f, xi_g)
+            if noise_only is not None and step_i % cfg.out_noise_int == 0:
+                xi_f, xi_g = noise_only(state)
+                fields_io.write_noise_frame(cfg.out_dir, step_i, xi_f, xi_g)
 
-        need_hydro = (
-            (cfg.plot_int > 0 and step_i % cfg.plot_int == 0)
-            or (use_sf and step_i >= sf_start and step_i % cfg.sf_every == 0)
-            or (cfg.print_int > 0 and step_i % cfg.print_int == 0)
-            or step_i == last
-        )
-        packed = hydro_only(state) if need_hydro else None
+            need_hydro = (
+                (cfg.plot_int > 0 and step_i % cfg.plot_int == 0)
+                or (use_sf and step_i >= sf_start and step_i % cfg.sf_every == 0)
+                or (cfg.print_int > 0 and step_i % cfg.print_int == 0)
+                or step_i == last
+            )
+            packed = hydro_only(state) if need_hydro else None
 
-        if use_sf and step_i >= sf_start and step_i % cfg.sf_every == 0:
-            if sf_state is None:
-                sf_state = sf_lib.init_structfact(
-                    len(sf_lib.REFERENCE_PAIRS), cfg.shape)
-            sf_state = sf_lib.accumulate(sf_state, packed,
-                                         sf_lib.REFERENCE_PAIRS)
+            if use_sf and step_i >= sf_start and step_i % cfg.sf_every == 0:
+                if sf_state is None:
+                    sf_state = sf_lib.init_structfact(
+                        len(sf_lib.REFERENCE_PAIRS), cfg.shape)
+                sf_state = sf_lib.accumulate(sf_state, packed,
+                                             sf_lib.REFERENCE_PAIRS)
 
-        if cfg.plot_int > 0 and step_i % cfg.plot_int == 0:
-            if cfg.plot_save:
-                path = fields_io.write_frame(cfg.out_dir, step_i, packed,
-                                             writer=frame_writer)
-            if on_frame:
-                on_frame(step_i, packed)
-            if not p.noise_on and cfg.t_window > 0 and step_i >= eq_start:
-                arr = np.asarray(packed)
-                eq_accum = arr if eq_accum is None else eq_accum + arr
-                eq_count += 1
+            if cfg.plot_int > 0 and step_i % cfg.plot_int == 0:
                 if cfg.plot_save:
-                    eq_paths.append(path)
+                    path = fields_io.write_frame(cfg.out_dir, step_i, packed,
+                                                 writer=frame_writer)
+                if on_frame:
+                    on_frame(step_i, packed)
+                if not p.noise_on and cfg.t_window > 0 and step_i >= eq_start:
+                    arr = np.asarray(packed)
+                    eq_accum = arr if eq_accum is None else eq_accum + arr
+                    eq_count += 1
+                    if cfg.plot_save:
+                        eq_paths.append(path)
 
-        if cfg.print_int > 0 and step_i % cfg.print_int == 0:
-            rho = packed[0]
-            rec = {"mlups": (step_i - first)
-                   * np.prod(cfg.shape) / (time.perf_counter() - t0) / 1e6}
-            if bool(debug.has_nonfinite(rho)):
-                ckpt.save_state(
-                    os.path.join(cfg.out_dir, f"abort{step_i:07d}"), state)
-                raise FloatingPointError(
-                    f"non-finite density at step {step_i}; "
-                    "state checkpointed")
-            st = debug.field_stats(rho)
-            rec.update({k: float(v) for k, v in st.items()})
-            rec["mass_f"] = float(debug.mass(state.f))
-            rec["mass_g"] = float(debug.mass(state.g))
-            metrics.log(step_i, **rec)
+            if cfg.print_int > 0 and step_i % cfg.print_int == 0:
+                rho = packed[0]
+                rec = {"mlups": (step_i - first)
+                       * np.prod(cfg.shape) / (time.perf_counter() - t0) / 1e6}
+                if bool(debug.has_nonfinite(rho)):
+                    ckpt.save_state(
+                        os.path.join(cfg.out_dir, f"abort{step_i:07d}"), state)
+                    raise FloatingPointError(
+                        f"non-finite density at step {step_i}; "
+                        "state checkpointed")
+                st = debug.field_stats(rho)
+                rec.update({k: float(v) for k, v in st.items()})
+                rec["mass_f"] = float(debug.mass(state.f))
+                rec["mass_g"] = float(debug.mass(state.g))
+                metrics.log(step_i, **rec)
+
+    finally:
+        # drain pending async frame writes on ANY exit (an exception
+        # or interrupt mid-run must not silently drop submitted frames;
+        # the eq read-back below also needs the frames on disk)
+        if frame_writer is not None:
+            frame_writer.close()
 
     # end-of-run artifacts
-    if frame_writer is not None:
-        frame_writer.close()  # drain pending frames (eq read-back below)
     ckpt.save_state(
         os.path.join(cfg.out_dir, f"checkpoint{last:07d}"), state,
         extra={"config": _cfg_json(cfg)})

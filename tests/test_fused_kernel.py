@@ -299,19 +299,23 @@ def test_blocked_equals_composed_with_noise():
     h, xi_f, xi_g, _ = prelude(state, params)
     f1, g1 = collide_ops.collide(state.f, state.g, h, xi_f, xi_g, params)
 
-    w = jnp.array([1234567], jnp.int32)
+    # per-step word layout: the blocked sweep consumes [w0, w1, step];
+    # the composed single-step calls consume w0 at step s0 and w1 at
+    # s0+1 — the SAME draws, so the streams are bitwise identical
+    w0 = jnp.array([1234567], jnp.int32)
+    w1 = jnp.array([-987654], jnp.int32)
     s0 = jnp.array([42], jnp.int32)
     tile = (shape[0], shape[1])
     with pltpu.force_tpu_interpret_mode():
         fb, gb = _fused_step_call(
-            params, shape, tile, True, jnp.concatenate([w, s0]), f1, g1,
-            block=2, noise_impl="hash", transform="mxu")
+            params, shape, tile, True, jnp.concatenate([w0, w1, s0]),
+            f1, g1, block=2, noise_impl="hash", transform="mxu")
         fa, ga = _fused_step_call(
-            params, shape, tile, True, jnp.concatenate([w, s0]), f1, g1,
+            params, shape, tile, True, jnp.concatenate([w0, s0]), f1, g1,
             block=1, noise_impl="hash", transform="mxu")
         fa, ga = _fused_step_call(
-            params, shape, tile, True, jnp.concatenate([w, s0 + 1]), fa, ga,
-            block=1, noise_impl="hash", transform="mxu")
+            params, shape, tile, True, jnp.concatenate([w1, s0 + 1]),
+            fa, ga, block=1, noise_impl="hash", transform="mxu")
     np.testing.assert_allclose(np.asarray(fb), np.asarray(fa),
                                rtol=5e-4, atol=5e-7)
     np.testing.assert_allclose(np.asarray(gb), np.asarray(ga),

@@ -211,3 +211,38 @@ def test_engines_agree(tmp_path):
                      mesh=mesh, engine="halo")
     np.testing.assert_allclose(np.asarray(s2.f), np.asarray(s1.f),
                                atol=2e-5)
+
+
+def test_analysis_reads_h5_frames(tmp_path):
+    """Frames exported with fmt='h5' must be visible to the analysis
+    CLI end-to-end (AMReX_FileIO.H loaders / HDF5RW.ipynb analog): the
+    shipped h5 path was previously invisible to analysis._frames."""
+    pytest.importorskip("h5py")
+    import argparse
+
+    from bflbm_tpu import analysis, run as run_mod
+    from bflbm_tpu.config import RunConfig
+    from bflbm_tpu.io import fields as fields_io
+
+    out = str(tmp_path / "h5run")
+    cfg = RunConfig(
+        shape=(12, 12, 12),
+        params=LBMParams(alpha0=1.5, kBT=0.0, kappa=0.1,
+                         rho_lo=0.1, rho_hi=3.0),
+        nsteps=20, plot_int=10, plot_save=False,
+        out_dir=out, init="droplet", init_radius=0.3,
+    )
+    frames = []
+    run_mod.run(cfg, on_frame=lambda s, packed: frames.append(
+        (s, np.asarray(packed))))
+    assert frames
+    for s, packed in frames:
+        fields_io.write_frame(out, s, packed, fmt="h5")
+    listed = analysis._frames(out)
+    assert listed and all(p.endswith(".h5") for p in listed)
+    res = analysis.cmd_droplet(argparse.Namespace(
+        dir=out, skip=0, alpha0=1.5, kBT=0.0))
+    assert 0.1 < res["R_mean"] < 0.5 * 12
+    # round-trip: h5 frame contents match the in-memory packed hydro
+    d = fields_io.read_frame(listed[-1])
+    np.testing.assert_allclose(d["rho"], frames[-1][1][0], rtol=1e-6)
