@@ -159,7 +159,8 @@ def _inverse_perm(p):
 
 
 def _choose_tile(shape: Tuple[int, int, int],
-                 block: int = 1) -> Tuple[int, int]:
+                 block: int = 1, noise_on: bool = True
+                 ) -> Tuple[int, int]:
     """Pick (BX, BY) dividing (X, Y); z is always whole.
 
     The y-sweep load path (see _step_kernel) wants BY a multiple of
@@ -175,11 +176,15 @@ def _choose_tile(shape: Tuple[int, int, int],
             divs = [n]
         return min(divs, key=lambda d: (abs(d - target), d))
 
-    # hardware matrix (benchmarks/tpu_tile_sweep2.py): (8,16) sweep is
-    # the best measured config at 256^3 on v5e
+    # hardware matrix (benchmarks/tpu_perf_r3.py, 256^3 v5e): bx=16
+    # wins everywhere except the pure-deterministic blocked sweep —
+    # fluct b2 hybrid (16,16) 868 vs (8,16) 749; b1 (16,16) 842 vs
+    # (8,16) 804; coupled b1 781 vs 769; determ b2 (8,16) 1157 vs
+    # (16,16) 1114.  The hybrid seam-only noise needs bx,by >= 12
+    # (interior >= 8 after the 2*p_s seam band), which bx=16 affords.
     by = 2 * _PY if Y % (2 * _PY) == 0 and Y // (2 * _PY) >= 2 \
         else (_PY if Y % _PY == 0 and Y // _PY >= 2 else best(Y, 32))
-    bx = best(X, 8)
+    bx = best(X, 8 if (block >= 2 and not noise_on) else 16)
     # Budget: ext block 2*19*(BX+2*px)*(BY+16)*Z*4 bytes (x2 slots) <= 40 MB
     while 2 * Q * (bx + 2 * px) * (by + 2 * _PY) * Z * 4 > 40 * 2 ** 20 \
             and bx > 1:
@@ -849,28 +854,20 @@ def _step_kernel(params: LBMParams, shape, gdomain, bx, by, block,
         oy0 = seed_ref[block + 2] if ext_mode else jnp.int32(0)
         phase_normals = [None] * block
 
-        def gen_normals(s):
-            """Normals for phase s on its compute region."""
-            p_s = 2 * (block - 1 - s)
-            region = (bx + 2 * p_s, by + 2 * p_s, Z)
-            word = seed_ref[s]
-            if s < block - 1 or noise_impl == "hash":
-                origin = (ox0 + i * bx - p_s, oy0 + j * by - p_s)
-                return hash_normals(word, step0 + s, origin, region,
-                                    gdomain, dtype, noise_dist)
-            # final phase: interior-only (never recomputed by another
-            # tile), so the cheap per-tile hardware PRNG stream is safe.
-            # Seed space: (random word + global-tile hash, step) — a
-            # single 32-bit word would birthday-collide over the 1e6-step
-            # production presets; Mosaic caps prng_seed at 2 words, so
-            # the global tile origin is folded into the random word by an
-            # odd-multiplier (injective) hash.  Global (not grid-local)
-            # coordinates keep shard streams distinct under shard_map.
+        def hw_normals(s, shape_hw):
+            """Per-tile hardware-PRNG normals on `shape_hw`.  Seed
+            space: (random word + global-tile hash, step) — a single
+            32-bit word would birthday-collide over the 1e6-step
+            production presets; Mosaic caps prng_seed at 2 words, so
+            the global tile origin is folded into the random word by an
+            odd-multiplier (injective) hash.  Global (not grid-local)
+            coordinates keep shard streams distinct under shard_map;
+            step0+s keeps the per-phase streams distinct."""
             gtile = (ox0 + i * bx) * jnp.int32(gdomain[1]) \
                 + (oy0 + j * by)
-            pltpu.prng_seed(word + gtile * jnp.int32(-1640531527),
+            pltpu.prng_seed(seed_ref[s] + gtile * jnp.int32(-1640531527),
                             step0 + s)
-            bits = pltpu.prng_random_bits((2 * _NPAIR,) + region)
+            bits = pltpu.prng_random_bits((2 * _NPAIR,) + shape_hw)
             if noise_dist == "clt4":
                 ns = [_clt4_normal(pltpu.bitcast(bits[a], jnp.uint32),
                                    dtype)
@@ -886,6 +883,58 @@ def _step_kernel(params: LBMParams, shape, gdomain, bx, by, block,
             n2 = r_bm * jnp.sin(theta)
             return ([n1[p] for p in range(_NPAIR)],
                     [n2[p] for p in range(_NPAIR)])
+
+        def gen_normals(s):
+            """Normals for phase s on its compute region.
+
+            Correctness rule: any cell that is (re)computed by more than
+            one tile — cells within p_s of a tile boundary, and periodic
+            wraps — must draw coordinate-keyed hash noise so every
+            computation injects the identical value; cells computed by
+            exactly one tile may use the ~1.6x cheaper per-tile hardware
+            PRNG.  The final phase (p_s = 0) writes only the interior
+            tile, so it is all-HW; non-final phases split seam-band
+            (hash) from interior (HW) — "seam-only hash", the lever that
+            makes temporal blocking pay in the fluctuating case."""
+            p_s = 2 * (block - 1 - s)
+            region = (bx + 2 * p_s, by + 2 * p_s, Z)
+            word = seed_ref[s]
+            origin = (ox0 + i * bx - p_s, oy0 + j * by - p_s)
+            if s == block - 1 and noise_impl != "hash":
+                # final phase: interior-only, never recomputed elsewhere
+                return hw_normals(s, region)
+            wb = 2 * p_s                      # seam band width per edge
+            inx, iny = bx - 2 * p_s, by - 2 * p_s
+            if noise_impl == "hash" or noise_dist != "clt4" \
+                    or inx < 8 or iny < 8:
+                # all-hash: decomposition-invariant reference stream
+                # (also the fallback when the exclusive interior is too
+                # small to be worth a separate PRNG pass)
+                return hash_normals(word, step0 + s, origin, region,
+                                    gdomain, dtype, noise_dist)
+            in1, in2 = hw_normals(s, (inx, iny, Z))
+            # seam rectangles (region coords): full-width top/bottom
+            # x-bands, then left/right y-bands of the middle rows
+            rects = (((0, 0), (wb, region[1])),
+                     ((region[0] - wb, 0), (wb, region[1])),
+                     ((wb, 0), (inx, wb)),
+                     ((wb, region[1] - wb), (inx, wb)))
+            rn = []
+            for (rx, ry), (rw, rh) in rects:
+                ro = (origin[0] + rx, origin[1] + ry)
+                rn.append(hash_normals(word, step0 + s, ro, (rw, rh, Z),
+                                       gdomain, dtype, noise_dist))
+            (t1, t2), (b1, b2), (l1, l2), (r1, r2) = rn
+
+            def paste(top, bot, left, right, inner):
+                mid = jnp.concatenate([left, inner, right], axis=1)
+                return jnp.concatenate([top, mid, bot], axis=0)
+
+            n1 = [paste(t1[p], b1[p], l1[p], r1[p], in1[p])
+                  for p in range(_NPAIR)]
+            n2 = [paste(t2[p], b2[p], l2[p], r2[p], in2[p])
+                  for p in range(_NPAIR)]
+            return n1, n2
 
         if noise_on:
             phase_normals[0] = gen_normals(0)
@@ -1066,7 +1115,7 @@ def fused_stream_collide(state: SimState, params: LBMParams,
                          noise_dist="clt4") -> SimState:
     """`block` K = collide o stream updates in post-collide state space."""
     shape = tuple(state.f.shape[1:])
-    tile = tile or _choose_tile(shape, block)
+    tile = tile or _choose_tile(shape, block, params.noise_on)
     # advance the key once per physical step — and draw one word per
     # step from the per-step splits — so BOTH the key trajectory and the
     # hash noise stream are identical across engines and block sizes
@@ -1122,20 +1171,25 @@ def make_nsteps(params: LBMParams, n: int, tile=None, force: bool = False,
         if n - 1 < 2:
             return 1
         # temporal blocking halves HBM traffic but adds overlap compute.
-        # Measured on v5e 256^3 (benchmarks/results/tpu_verify.json):
-        # pure-deterministic is DMA-bound and gains (815 -> 1023 MLUPS);
-        # noise (810 -> 625) or the coupling force path (819 -> 692)
-        # make the kernel compute-bound and blocking loses.  So block 2
-        # only for the uncoupled deterministic case.  (The multi-chip
-        # shard path keeps block=2 regardless — there the sweep also
-        # amortizes the ICI halo exchange.)
-        if params.noise_on or params.alpha0 != 0.0:
+        # Measured on v5e 256^3 (benchmarks/tpu_perf_r3.py): the
+        # seam-only-hash "hybrid" noise (see _step_kernel.gen_normals)
+        # makes blocking pay in the fluctuating uncoupled case too —
+        # b2 (16,16) hybrid 868 MLUPS vs the best b1 852 — provided the
+        # tile affords a >= 8-wide hardware-PRNG interior (bx, by >= 12,
+        # i.e. 16-divisible extents) and the noise path is hw+clt4.
+        # All-hash b2 (794) and the coupled force path (b2 fails VMEM at
+        # the hybrid tile; b1 (16,16) = 781 wins) stay at block 1.
+        if params.alpha0 != 0.0:
             return 1
+        if params.noise_on:
+            hybrid_ok = (noise_impl == "hw" and noise_dist == "clt4"
+                         and shape[0] % 16 == 0 and shape[1] % 16 == 0)
+            return 2 if hybrid_ok else 1
         return 2 if shape[0] >= 4 else 1
 
     def fused_body(s: SimState, shape) -> SimState:
         T = pick_block(shape)
-        tl = tile or _choose_tile(shape, T)
+        tl = tile or _choose_tile(shape, T, params.noise_on)
         # enter post-collide space: one jnp prelude+collide
         h, xi_f, xi_g, key = model.prelude(s, params)
         f1, g1 = collide_ops.collide(s.f, s.g, h, xi_f, xi_g, params)

@@ -92,7 +92,7 @@ def make_kernel_nsteps(mesh: Mesh, params: LBMParams, n: int,
     pspec = P(None, *names)
 
     def make_sweep(T, shape_loc, gdomain):
-        tl = tile or _choose_tile(shape_loc, T)
+        tl = tile or _choose_tile(shape_loc, T, params.noise_on)
         px = 2 * T
         Xl, Yl = shape_loc[0], shape_loc[1]
 
