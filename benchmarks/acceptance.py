@@ -478,8 +478,14 @@ def phase_e(args):
 
 
 def _analyze_shape_frame(rho):
-    """Per-frame shape observables (multiprocessing worker)."""
+    """Per-frame shape observables (multiprocessing worker): gyration
+    eigenvalues plus zeta_20 by BOTH surface extractors — the round-2
+    ray/Gauss-Legendre radius map and the reference's marching-cubes
+    vertex pipeline (hand-rolled, observables/marching_cubes.py) — so
+    the extraction-method delta on <zeta_20^2> is measured on identical
+    frames (VERDICT round-2 item 4)."""
     from bflbm_tpu.observables import droplet as drop_obs
+    from bflbm_tpu.observables import marching_cubes as mc_obs
 
     com = drop_obs.center_of_mass(rho - rho[0, 0, 0])
     rad = drop_obs.radius_from_mass(rho)
@@ -488,7 +494,11 @@ def _analyze_shape_frame(rho):
     level = 0.5 * (rho.min() + rho.max())
     rmap = drop_obs.surface_radius_map(rho, com, level)
     amps = drop_obs.spherical_harmonic_amplitudes(rmap, lmax=2)
-    return rad, eig, amps[(2, 0)].real
+    # marching cubes wants the COM in array-index coordinates
+    com_idx = com + (np.asarray(rho.shape) - 1) / 2.0
+    amps_mc, diag = mc_obs.mc_surface_amplitudes(rho, com_idx, level)
+    return (rad, eig, amps[(2, 0)].real, amps_mc[(2, 0)].real,
+            diag["boundary_edges"])
 
 
 def phase_f(args):
@@ -534,9 +544,11 @@ def phase_f(args):
 
     with mp.Pool(8) as pool:
         rows = pool.map(_analyze_shape_frame, frames[skip:], chunksize=8)
-    rads = [r for r, _, _ in rows]
-    eigs = [e for _, e, _ in rows]
-    zetas = [z for _, _, z in rows]
+    rads = [r[0] for r in rows]
+    eigs = [r[1] for r in rows]
+    zetas = [r[2] for r in rows]
+    zetas_mc = [r[3] for r in rows]
+    holes = [r[4] for r in rows]
     # principal semi-axes at FIXED R0 (a per-frame mass-radius injects a
     # common-mode delta R driven by the single-cell center density and
     # swamps the shape signal — the reference's own |d(a+b+c)| ~ 1e-4
@@ -554,10 +566,13 @@ def phase_f(args):
     plus = sum(np.mean((da[:, i] + da[:, j]) ** 2) for i, j in pairs)
     minus = sum(np.mean((da[:, i] - da[:, j]) ** 2) for i, j in pairs)
     z = np.asarray(zetas)
+    z_mc = np.asarray(zetas_mc)
     g_zeta = drop_obs.zeta_equipartition_gamma(z, kBT)
+    g_zeta_mc = drop_obs.zeta_equipartition_gamma(z_mc, kBT)
     gamma_th = 0.01216
     np.savez(os.path.join(cfg.out_dir, "shapefluct.npz"),
-             axes=axes, eigs=e, rads=np.asarray(rads), zeta20=z)
+             axes=axes, eigs=e, rads=np.asarray(rads), zeta20=z,
+             zeta20_mc=z_mc, mc_boundary_edges=np.asarray(holes))
     return {"phase": "F-shapefluct", "steps": steps,
             "wall_s": round(wall, 1), "n_frames": len(frames) - skip,
             "R0": round(r0, 4),
@@ -577,8 +592,15 @@ def phase_f(args):
             "equipartition_rhs": kBT / 2,
             "reference_saved_lhs": 2.5488e-07,
             "zeta20_var": float(np.mean(z ** 2)),
+            # the reference-method (marching cubes) numbers on the SAME
+            # frames — the direct comparable to its saved 1.048e-05
+            "zeta20_var_mc": float(np.mean(z_mc ** 2)),
+            "equipartition_lhs_mc": float(2 * gamma_th
+                                          * np.mean(z_mc ** 2)),
+            "mc_mean_boundary_edges": float(np.mean(holes)),
             "reference_zeta20_var": 1.048e-05,
             "gamma_zeta20": round(g_zeta, 6),
+            "gamma_zeta20_mc": round(g_zeta_mc, 6),
             "gamma_theory": gamma_th}
 
 
