@@ -13,6 +13,18 @@ block of the post-collide populations; per temporal-block sweep it
        ``ext_mode=True`` — single-fragment DMA loads, no periodic wrap);
     2. runs T fused K = collide∘stream steps entirely locally.
 
+    With ``overlap`` (the default on sharded axes) the sweep is SPLIT so
+    the ICI exchange hides under compute: an interior call covering the
+    out domain shrunk by the halo depth consumes only the un-exchanged
+    local block (its ext pads fall inside it), while four narrow seam
+    bands — the only consumers of the ppermuted halos — run after it.
+    XLA's latency-hiding scheduler can then start the collective
+    permutes, execute the (~90% of cells) interior kernel, and complete
+    the permutes before the seam calls need them, leaving only the seam
+    compute exposed.  The split costs ~9% extra HBM reads (the band ext
+    inputs re-read the band neighborhoods), which is why it is gated on
+    the mesh axis actually being sharded.
+
 The y halo depth is _PY = 8 (not 2*T) because Mosaic requires 8-aligned
 sublane DMA fragments; the extra rows cost bandwidth ~(8-2T)/BY.
 
@@ -73,13 +85,28 @@ def make_kernel_nsteps(mesh: Mesh, params: LBMParams, n: int,
                        transform: str = "eo",
                        noise_impl: str = "hw", noise_dist: str = "clt4",
                        interpret: bool = False,
-                       donate: bool = True):
+                       donate: bool = True, overlap="auto"):
     """n standard steps: fused Pallas kernel per shard + ppermute halos.
 
     Returns jitted SimState -> SimState over the mesh.  ``block`` = T
     K-steps per halo exchange (temporal blocking amortizes both the HBM
     halo traffic and the ICI exchange).  ``interpret`` runs the kernel
     in Pallas interpret mode (CPU dryrun; requires single-tile shards).
+
+    ``overlap`` controls ICI/compute overlap (the comm/compute design
+    point of SURVEY.md §5; the reference never overlapped its per-step
+    ``FillBoundary``, LBM_binary.H:553-555).  When active, each sweep is
+    split into an INTERIOR kernel call whose inputs are entirely local
+    (the out domain shrunk by the halo depth, so its ext-mode pads come
+    from the un-exchanged local block) plus narrow seam-band calls that
+    consume the ppermuted halos; the interior call carries no data
+    dependence on any collective, so XLA's latency-hiding scheduler can
+    run the ICI transfers underneath it, leaving only the ~10% seam
+    compute exposed.  Values: "auto" (split along actually-sharded mesh
+    axes when the local extents afford it), "force" (split both axes
+    regardless of mesh — used for single-chip hardware validation of
+    the exact multi-chip call structure), False (serial: exchange, then
+    one whole-block call).
     """
     if n < 1:
         raise ValueError("n >= 1")
@@ -92,9 +119,38 @@ def make_kernel_nsteps(mesh: Mesh, params: LBMParams, n: int,
     pspec = P(None, *names)
 
     def make_sweep(T, shape_loc, gdomain):
-        tl = tile or _choose_tile(shape_loc, T, params.noise_on)
         px = 2 * T
-        Xl, Yl = shape_loc[0], shape_loc[1]
+        Xl, Yl, Zl = shape_loc
+        # split feasibility: the interior out domain (shrunk by the halo
+        # depth on each split axis) must stay non-empty and kernel-shaped,
+        # and — for correctness of the overlap claim — every SHARDED axis
+        # must be split (otherwise the interior's ext pad on that axis
+        # would itself ride an ICI exchange).  Any infeasible wanted axis
+        # therefore drops the whole sweep back to the serial path.
+        if overlap == "force":
+            want_x = want_y = True
+        elif overlap:
+            want_x = mesh.shape["x"] > 1
+            want_y = mesh.shape["y"] > 1
+        else:
+            want_x = want_y = False
+        sx = want_x and Xl - 2 * px >= 2
+        sy = want_y and Yl - 2 * _PY >= 8
+        if (want_x and not sx) or (want_y and not sy):
+            sx = sy = False
+        split = sx or sy
+        tl = tile or _choose_tile(shape_loc, T, params.noise_on)
+
+        def call(shape_c, tl_c, seed, fi, gi):
+            return _fused_step_call(
+                params, shape_c, tl_c, params.noise_on, seed, fi, gi,
+                mode, transform, T, noise_impl, noise_dist,
+                gdomain=gdomain, ext_mode=True, interpret=interpret)
+
+        def pick(shape_c):
+            if interpret:        # single-tile grids only (CLAUDE.md)
+                return (shape_c[0], shape_c[1])
+            return _choose_tile(shape_c, T, params.noise_on)
 
         def local_sweep(f_loc, g_loc, words, step0):
             f_ext, g_ext = f_loc, g_loc
@@ -104,13 +160,64 @@ def make_kernel_nsteps(mesh: Mesh, params: LBMParams, n: int,
             g_ext = halo_par.exchange_halo(g_ext, "y", 2, _PY)
             ox0 = (jax.lax.axis_index("x") * Xl).astype(jnp.int32)
             oy0 = (jax.lax.axis_index("y") * Yl).astype(jnp.int32)
-            seed = jnp.concatenate(
-                [words, jnp.stack([step0, ox0, oy0])])
-            return _fused_step_call(
-                params, shape_loc, tl, params.noise_on, seed,
-                f_ext, g_ext, mode, transform, T, noise_impl,
-                noise_dist, gdomain=gdomain, ext_mode=True,
-                interpret=interpret)
+            base = jnp.concatenate([words, jnp.stack([step0])])
+
+            def seed_at(dx, dy):
+                return jnp.concatenate(
+                    [base, jnp.stack([ox0 + jnp.int32(dx),
+                                      oy0 + jnp.int32(dy)])])
+
+            if not split:
+                return call(shape_loc, tl if not interpret else (Xl, Yl),
+                            seed_at(0, 0), f_ext, g_ext)
+
+            # --- split sweep: interior first in program order, seam
+            # bands after; only the bands read f_ext (the collectives'
+            # result), so the exchange overlaps the interior call. ---
+            Xi = Xl - 2 * px if sx else Xl
+            Yi = Yl - 2 * _PY if sy else Yl
+            xi0 = px if sx else 0
+            yi0 = _PY if sy else 0
+            # interior ext pads on non-split axes are LOCAL periodic
+            # wraps (those mesh axes have size 1 unless overlap="force",
+            # where a size-1 exchange is a local wrap too)
+            f_in, g_in = f_loc, g_loc
+            if not sx:
+                f_in = halo_par.exchange_halo(f_in, "x", 1, px)
+                g_in = halo_par.exchange_halo(g_in, "x", 1, px)
+            if not sy:
+                f_in = halo_par.exchange_halo(f_in, "y", 2, _PY)
+                g_in = halo_par.exchange_halo(g_in, "y", 2, _PY)
+            fo_i, go_i = call((Xi, Yi, Zl), tile or pick((Xi, Yi, Zl)),
+                              seed_at(xi0, yi0), f_in, g_in)
+
+            def band(x0, wx, y0, wy):
+                """Seam-band call: out [x0,x0+wx) x [y0,y0+wy), inputs
+                sliced from the exchanged ext block (ext row r is global
+                local-x r - px, col c is y c - _PY)."""
+                fi = jax.lax.slice_in_dim(f_ext, x0, x0 + wx + 2 * px,
+                                          axis=1)
+                gi = jax.lax.slice_in_dim(g_ext, x0, x0 + wx + 2 * px,
+                                          axis=1)
+                fi = jax.lax.slice_in_dim(fi, y0, y0 + wy + 2 * _PY,
+                                          axis=2)
+                gi = jax.lax.slice_in_dim(gi, y0, y0 + wy + 2 * _PY,
+                                          axis=2)
+                return call((wx, wy, Zl), pick((wx, wy, Zl)),
+                            seed_at(x0, y0), fi, gi)
+
+            mid_f, mid_g = fo_i, go_i
+            if sy:
+                fl, gl = band(xi0, Xi, 0, _PY)
+                fh, gh = band(xi0, Xi, Yl - _PY, _PY)
+                mid_f = jnp.concatenate([fl, mid_f, fh], axis=2)
+                mid_g = jnp.concatenate([gl, mid_g, gh], axis=2)
+            if sx:
+                fl, gl = band(0, px, 0, Yl)
+                fh, gh = band(Xl - px, px, 0, Yl)
+                mid_f = jnp.concatenate([fl, mid_f, fh], axis=1)
+                mid_g = jnp.concatenate([gl, mid_g, gh], axis=1)
+            return mid_f, mid_g
 
         # check_vma=False: pallas_call outputs carry no varying-mesh-axes
         # annotation, which the checker would otherwise reject

@@ -25,11 +25,11 @@ pytestmark = pytest.mark.skipif(
     len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
 
 
-def _run(mesh_shape, state, params, n, block, tile=None):
+def _run(mesh_shape, state, params, n, block, tile=None, overlap="auto"):
     mesh = mesh_lib.make_mesh(mesh_shape)
     run = kernel_par.make_kernel_nsteps(
         mesh, params, n, block=block, tile=tile, noise_impl="hash",
-        transform="mxu", interpret=True, donate=False)
+        transform="mxu", interpret=True, donate=False, overlap=overlap)
     return run(mesh_lib.shard_state(state, mesh))
 
 
@@ -72,6 +72,44 @@ def test_kernel_shard_noise_mesh_invariance():
     # round-off, far below the per-step noise scale
     np.testing.assert_allclose(float(jnp.sum(a.f)), float(jnp.sum(b.f)),
                                rtol=1e-6)
+
+
+def test_kernel_overlap_split_matches_jnp_deterministic():
+    """The ICI-overlap split sweep (interior call on local data + seam
+    bands on the exchanged halos, parallel/kernel.py make_sweep) must
+    reproduce the jnp trajectory exactly like the serial sweep does.
+    block=1 so the 2-deep halo leaves a non-empty interior on the small
+    test shards; every call is single-tile under interpret."""
+    params = LBMParams(alpha0=1.5, kBT=0.0, kappa=0.1,
+                       rho_lo=0.1, rho_hi=3.0)
+    shape = (16, 96, 128)   # loc (8, 24): Xi = 4, Yi = 8
+    state = model.init_droplet(shape, params, dtype=jnp.float32,
+                               radius=0.3)
+    n = 4
+    ref = state
+    for _ in range(n):
+        ref, _ = model.step(ref, params)
+    got = _run((2, 4, 1), state, params, n, block=1)
+    assert int(got.step) == n
+    np.testing.assert_allclose(np.asarray(got.f), np.asarray(ref.f),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got.g), np.asarray(ref.g),
+                               rtol=0, atol=2e-5)
+
+
+def test_kernel_overlap_split_noise_invariant():
+    """Hash noise is keyed by global cell coordinates, so splitting the
+    sweep into interior + seam-band calls must not change the
+    fluctuating trajectory at all vs the serial sweep."""
+    params = LBMParams(alpha0=0.0, kBT=1e-5)
+    shape = (16, 96, 128)
+    state = model.init_mixture(shape, params, dtype=jnp.float32)
+    a = _run((2, 4, 1), state, params, 3, block=1, overlap="auto")
+    b = _run((2, 4, 1), state, params, 3, block=1, overlap=False)
+    np.testing.assert_allclose(np.asarray(a.f), np.asarray(b.f),
+                               rtol=0, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(a.g), np.asarray(b.g),
+                               rtol=0, atol=1e-7)
 
 
 def test_kernel_shard_rejects_z_sharded():
