@@ -534,9 +534,61 @@ def stage_report():
     print(json.dumps(rep, indent=1))
 
 
+# ---------------------------------------------------------------------------
+# Stage 6: compare the stationary prediction against the real nonlinear
+# TPU run of benchmarks/capillary_nl_check.py (8 x 64 x 64; its ky modes
+# m' = 1..3 sit at the production m = 4, 8, 12 wavenumbers).
+# ---------------------------------------------------------------------------
+
+def stage_nlcompare():
+    d = np.load(os.path.join(OUT, "nl_check.npz"))
+    G, HB, ml, bl, H, Hp = load_reduced()
+    ny = 64
+    kxs = 2.0 * np.pi * np.arange(5) / NX_PHYS
+    kx_w = np.array([1.0, 2.0, 2.0, 2.0, 1.0])
+    norm = NX_PHYS * ny
+    out = {"stage": "nlcompare", "n_frames": int(d["n_frames"]),
+           "steps": int(d["steps"])}
+    T = int(d["n_frames"])
+    for m in (1, 2, 3):
+        ky = 2.0 * np.pi * m / ny
+        per_kx = []
+        for n in range(5):
+            s, _, _, _ = solve_mode(G, HB, ml, bl, Hp, kxs[n], ky, norm)
+            per_kx.append(s)
+        pred_slice = ny ** 2 * float(np.sum(kx_w * np.array(per_kx)))
+        pred_xavg = ny ** 2 * per_kx[0]
+        # statistical error of the measured spectrum from the mode
+        # series' own autocorrelation (chi^2 with T/g dof)
+        res = {}
+        for ch, name, pred in ((d["hk_slice"][:, m], "slice", pred_slice),
+                               (d["hk_xavg"][:, m], "xavg", pred_xavg)):
+            a = ch - ch.mean()
+            var = float(np.mean(np.abs(a) ** 2))
+            # integrated autocorrelation (initial-positive-sequence)
+            g = 1.0
+            c0 = var
+            for lag in range(1, T // 4):
+                rho_l = float(np.real(np.mean(
+                    a[lag:] * np.conj(a[:-lag])))) / c0
+                if rho_l <= 0:
+                    break
+                g += 2.0 * (1.0 - lag / T) * rho_l
+            stderr = var * np.sqrt(2.0 * g / T)
+            res[name] = {
+                "measured": var, "pred": pred, "g": round(g, 1),
+                "ratio": round(var / pred, 4),
+                "dev_sigma": round((var - pred) / stderr, 2)}
+        out[f"m{m}"] = res
+    with open(os.path.join(OUT, "nlcompare.json"), "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps(out, indent=1))
+
+
 STAGES = {"profile": stage_profile, "kernels": stage_kernels,
           "reduce": stage_reduce, "validate": stage_validate,
-          "modes": stage_modes, "report": stage_report}
+          "modes": stage_modes, "report": stage_report,
+          "nlcompare": stage_nlcompare}
 
 
 def main():

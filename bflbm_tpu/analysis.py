@@ -31,9 +31,13 @@ CS2 = 1.0 / 3.0
 
 
 def _frames(out_dir: str) -> List[str]:
+    from .io import amrex
+
     fr = sorted(glob.glob(os.path.join(out_dir, "plt*.npz"))
                 + glob.glob(os.path.join(out_dir, "plt*.bflbm"))
-                + glob.glob(os.path.join(out_dir, "plt*.h5")))
+                + glob.glob(os.path.join(out_dir, "plt*.h5"))
+                + [d for d in glob.glob(os.path.join(out_dir, "plt*"))
+                   if amrex.is_plotfile(d)])
     if not fr:
         # frame-less runs (plot_int=0): fall back to the final
         # checkpoint — read_frame-compatible fields are synthesized in

@@ -93,6 +93,9 @@ class RunConfig:
     plot_int: int = 0          # output hydro fields every N steps (0 = off)
     plot_save: bool = True     # False: plot_int drives on_frame callbacks
     #                            only (in-memory analysis, no disk frames)
+    plot_fmt: str = "auto"     # 'auto'|'npz'|'native'|'h5'|'amrex'
+    #                            (amrex = reference-compatible plotfile
+    #                            dirs, io/amrex.py)
     print_int: int = 0         # log scalar diagnostics every N steps
     sf_window: int = 0         # trailing window (steps) for structure factors
     sf_every: int = 100        # accumulate S(k) every N steps inside window
@@ -105,6 +108,16 @@ class RunConfig:
     init: str = "mixture"      # mixture | stripe | droplet | checkpoint
     init_radius: float = 0.2   # droplet radius as fraction of box
     init_frac: float = 0.5     # stripe fraction of box (main_run_job.cpp:33)
+    init_width: float = 0.0    # initial tanh interface width override in
+    #                            cells; 0 = reference-exact sqrt(kappa)
+    #                            (LBM_binary.H:681,731).  Deep quenches
+    #                            (alpha0 >= 2) blow up — in f64 too — when
+    #                            sqrt(kappa) is sub-cell: the init force
+    #                            spike at the un-relaxed interface exceeds
+    #                            the stable range.  Setting ~1.0 relaxes
+    #                            the start without changing the converged
+    #                            equilibrium (benchmarks/acceptance.py
+    #                            d-sweep alpha0=2.0).
     checkpoint_path: Optional[str] = None
     reseed: bool = False       # checkpoint init: replace the stored RNG
     #                            key with PRNGKey(seed) (indep ensembles)

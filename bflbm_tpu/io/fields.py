@@ -39,6 +39,13 @@ def write_frame(out_dir: str, step: int, packed_hydro,
     arr = np.asarray(packed_hydro)
     if fmt == "auto":
         fmt = "native" if arr.nbytes >= _AUTO_NATIVE_BYTES else "npz"
+    if fmt == "amrex":
+        from . import amrex
+
+        path = os.path.join(out_dir, f"plt{step:07d}")
+        amrex.write_plotfile(path, arr, HYDRO_NAMES, time=float(step),
+                             step=step)
+        return path
     if fmt == "h5":
         from . import hdf5
 
@@ -67,6 +74,14 @@ def write_frame(out_dir: str, step: int, packed_hydro,
 
 
 def read_frame(path: str) -> Dict[str, np.ndarray]:
+    if os.path.isdir(path):
+        # AMReX plotfile directory — the reference's own output format
+        # (WriteSingleLevelPlotfile / VisMF, AMReX_FileIO.H:18-113)
+        from . import amrex
+
+        fields, meta = amrex.read_plotfile(path)
+        fields["step"] = np.asarray(meta["step"])
+        return fields
     if path.endswith(".h5"):
         from . import hdf5
 

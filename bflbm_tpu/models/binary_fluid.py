@@ -127,18 +127,20 @@ def _tanh(x):
 
 
 def init_stripe(shape, params: LBMParams, seed: int = 12345,
-                dtype=jnp.float32, frac: float = 0.5) -> SimState:
+                dtype=jnp.float32, frac: float = 0.5,
+                width: float = 0.0) -> SimState:
     """Double-tanh slab along z (LBM_init_stripe, LBM_binary.H:664-695).
 
     rho rises from rho_lo to rho_hi inside |z - Lz/2| < frac*Lz/2 with
     interface width sqrt(kappa); phi = (rho_hi + rho_lo) - rho.
+    width > 0 overrides sqrt(kappa) (RunConfig.init_width).
     """
     _, _, z = _grid(shape, dtype)
     lz = shape[2]
     pos = z - lz // 2
     pos_lo = -0.5 * frac * lz
     pos_hi = 0.5 * frac * lz
-    width = float(jnp.sqrt(jnp.asarray(params.kappa)))
+    width = width or float(jnp.sqrt(jnp.asarray(params.kappa)))
     rho = (params.rho_hi - params.rho_lo) * 0.5 * (
         _tanh((pos - pos_lo) / width) + _tanh((pos_hi - pos) / width)
     ) + params.rho_lo
@@ -148,12 +150,17 @@ def init_stripe(shape, params: LBMParams, seed: int = 12345,
 
 
 def init_droplet(shape, params: LBMParams, seed: int = 12345,
-                 dtype=jnp.float32, radius: float = 0.2) -> SimState:
+                 dtype=jnp.float32, radius: float = 0.2,
+                 width: float = 0.0) -> SimState:
     """Tanh sphere of f inside g (LBM_init_droplet, LBM_binary.H:699-742).
 
     radius is a fraction of the box x-extent; center offsets replicate the
     reference's x/y centers at L/2. (its z uses box[0]/2, identical for
-    cubic domains).
+    cubic domains).  width > 0 overrides the sqrt(kappa) interface width
+    — the stabilized-start protocol for deep quenches (RunConfig
+    .init_width): alpha0 >= 2.0 with the sub-cell sqrt(0.1) init width
+    diverges within ~10 steps in float64 as well, so this is a model
+    stability boundary of the *initialization*, not a precision issue.
     """
     x, y, z = _grid(shape, dtype)
     rx = x - shape[0] / 2.0
@@ -161,7 +168,7 @@ def init_droplet(shape, params: LBMParams, seed: int = 12345,
     rz = z - shape[0] // 2  # reference uses box[0]/2 for z (LBM_binary.H:725)
     r = jnp.sqrt(rx * rx + ry * ry + rz * rz)
     cap_r = radius * shape[0]
-    width = float(jnp.sqrt(jnp.asarray(params.kappa)))
+    width = width or float(jnp.sqrt(jnp.asarray(params.kappa)))
     rho = (params.rho_hi - params.rho_lo) * 0.5 * (
         1.0 + _tanh((cap_r - r) / width)
     ) + params.rho_lo
@@ -182,9 +189,11 @@ def make_initial_state(cfg: RunConfig) -> SimState:
     if cfg.init == "mixture":
         return init_mixture(cfg.shape, p, cfg.seed, cfg.dtype)
     if cfg.init == "stripe":
-        return init_stripe(cfg.shape, p, cfg.seed, cfg.dtype, cfg.init_frac)
+        return init_stripe(cfg.shape, p, cfg.seed, cfg.dtype, cfg.init_frac,
+                           cfg.init_width)
     if cfg.init == "droplet":
-        return init_droplet(cfg.shape, p, cfg.seed, cfg.dtype, cfg.init_radius)
+        return init_droplet(cfg.shape, p, cfg.seed, cfg.dtype,
+                            cfg.init_radius, cfg.init_width)
     if cfg.init == "checkpoint":
         from ..io import checkpoint as ckpt
         from ..state import SimState

@@ -71,7 +71,8 @@ def run(cfg: RunConfig, *, mesh=None, engine: str = "auto",
     # async frame writer: large frames go to background writer threads
     # (reference analog: AMReX async plotfile I/O)
     frame_writer = None
-    if cfg.plot_int > 0 and cfg.plot_save:
+    if cfg.plot_int > 0 and cfg.plot_save and cfg.plot_fmt in ("auto",
+                                                               "native"):
         nbytes = 22 * int(np.prod(cfg.shape)) * np.dtype(np.float32).itemsize
         if nbytes >= fields_io._AUTO_NATIVE_BYTES:
             from .io import native as native_io
@@ -198,7 +199,8 @@ def run(cfg: RunConfig, *, mesh=None, engine: str = "auto",
     if cfg.plot_int > 0 and cfg.step_continue == 0:
         packed = hydro_only(state)
         if cfg.plot_save:
-            fields_io.write_frame(cfg.out_dir, first, packed)
+            fields_io.write_frame(cfg.out_dir, first, packed,
+                                  fmt=cfg.plot_fmt)
         if on_frame:
             on_frame(first, packed)
 
@@ -243,6 +245,7 @@ def run(cfg: RunConfig, *, mesh=None, engine: str = "auto",
             if cfg.plot_int > 0 and step_i % cfg.plot_int == 0:
                 if cfg.plot_save:
                     path = fields_io.write_frame(cfg.out_dir, step_i, packed,
+                                                 fmt=cfg.plot_fmt,
                                                  writer=frame_writer)
                 if on_frame:
                     on_frame(step_i, packed)
@@ -326,9 +329,14 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--plot-int", type=int, default=None)
     ap.add_argument("--print-int", type=int, default=None)
+    ap.add_argument("--plot-fmt", default=None,
+                    choices=["auto", "npz", "native", "h5", "amrex"])
     ap.add_argument("--sf-window", type=int, default=None)
     ap.add_argument("--sf-every", type=int, default=None)
     ap.add_argument("--out-noise-int", type=int, default=None)
+    ap.add_argument("--init-width", type=float, default=None,
+                    help="initial tanh interface width in cells "
+                         "(0 = sqrt(kappa); stabilizes deep quenches)")
     ap.add_argument("--radius", type=float, default=None,
                     help="droplet init radius (fraction of box)")
     ap.add_argument("--rho-lo", type=float, default=None)
@@ -377,6 +385,8 @@ def main(argv=None):
         cfg = cfg.replace(plot_int=args.plot_int)
     if args.print_int is not None:
         cfg = cfg.replace(print_int=args.print_int)
+    if args.plot_fmt is not None:
+        cfg = cfg.replace(plot_fmt=args.plot_fmt)
     if args.sf_window is not None:
         cfg = cfg.replace(sf_window=args.sf_window)
     if args.sf_every is not None:
@@ -385,6 +395,8 @@ def main(argv=None):
         cfg = cfg.replace(out_noise_int=args.out_noise_int)
     if args.radius is not None:
         cfg = cfg.replace(init_radius=args.radius)
+    if args.init_width is not None:
+        cfg = cfg.replace(init_width=args.init_width)
     if args.ref_state:
         cfg = cfg.replace(use_ref_state=True, ref_state_path=args.ref_state)
     for name in ("rho_lo", "rho_hi", "kappa", "tau_f", "tau_g"):

@@ -132,3 +132,24 @@ def test_units_system():
     # eta = 0.096 * ... use their pinned combination instead:
     oh = ohnesorge(0.5167, 3.1, 0.012162, 6.2)
     assert 1.0 < oh < 1.5  # order agreement with the pinned 1.231
+
+
+def test_deep_quench_init_width_stabilizes():
+    """alpha0=2.0, r=0.28 with the reference-exact sqrt(0.1)-cell init
+    width diverges within ~10 steps (in float64 too — a stability
+    boundary of the initialization, not a precision issue), while the
+    stabilized init_width=1.0 protocol stays finite (RunConfig
+    .init_width; acceptance d-sweep alpha0=2.0)."""
+    params = LBMParams(alpha0=2.0, kBT=0.0, kappa=0.1,
+                       rho_lo=0.0, rho_hi=3.0)
+    sharp = model.init_droplet((32, 32, 32), params, dtype=jnp.float64,
+                               radius=0.28)
+    st, _ = run_n(sharp, params, 12)
+    assert not bool(jnp.isfinite(jnp.sum(st.f)).item())
+
+    wide = model.init_droplet((32, 32, 32), params, dtype=jnp.float32,
+                              radius=0.28, width=1.0)
+    st, _ = run_n(wide, params, 300)
+    rho = np.asarray(jnp.sum(st.f, axis=0))
+    assert np.isfinite(rho).all()
+    assert 2.5 < rho.max() < 4.5
