@@ -616,6 +616,17 @@ def _k_compute(params: LBMParams, read_f, read_g, nx, ny, normals,
             mg[k] = mg[k] + xi_g[k]
 
     # ------------------------------------------------- back transform
+    #
+    # Exact-mass formulation (same rationale as ops/collide.py): the
+    # back transform's f32 rounding is coherent across near-identical
+    # cells and biases total mass by ~+1.5e-8/step, i.e. +1.5% over an
+    # 800k-step production run (ACCEPTANCE.md C-model).  The rest
+    # population is therefore computed by TELESCOPING,
+    #     f_0 = m_0 - sum_{i>=1} f_i,
+    # which pins the cell's stored mass to the post-collide mass moment
+    # up to a single (sign-varying) rounding instead of the coherent
+    # 19-term accumulation — and is cheaper than correcting after the
+    # fact (skips the M_INV row-0 contraction).
     if transform == "mxu":
         def pops_from(mom_list):
             m4 = jnp.stack(mom_list)
@@ -623,18 +634,15 @@ def _k_compute(params: LBMParams, read_f, read_g, nx, ny, normals,
                 minv_ref[:], m4, (((1,), (0,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)
-            return [r[idx] for idx in range(Q)]
+            out = [None] + [r[idx] for idx in range(1, Q)]
+            s = None
+            for idx in range(1, Q):
+                s = out[idx] if s is None else s + out[idx]
+            out[0] = mom_list[0] - s
+            return out
     elif transform == "eo":
         def pops_from(mom_list):
             out = [None] * Q
-            acc = None
-            for k in range(Q):
-                c = float(M_INV[0, k])
-                if c == 0.0:
-                    continue
-                t = c * mom_list[k]
-                acc = t if acc is None else acc + t
-            out[0] = acc
             for i, j in _PAIRS:
                 ev = od = None
                 for k in range(Q):
@@ -648,11 +656,16 @@ def _k_compute(params: LBMParams, read_f, read_g, nx, ny, normals,
                         od = t if od is None else od + t
                 out[i] = ev + od
                 out[j] = ev - od
+            s = None
+            for i, j in _PAIRS:
+                ps = out[i] + out[j]
+                s = ps if s is None else s + ps
+            out[0] = mom_list[0] - s
             return out
     else:
         def pops_from(mom_list):
-            out = []
-            for idx in range(Q):
+            out = [None] * Q
+            for idx in range(1, Q):
                 acc = None
                 for k in range(Q):
                     c = float(M_INV[idx, k])
@@ -660,7 +673,11 @@ def _k_compute(params: LBMParams, read_f, read_g, nx, ny, normals,
                         continue
                     t = c * mom_list[k]
                     acc = t if acc is None else acc + t
-                out.append(acc)
+                out[idx] = acc
+            s = None
+            for idx in range(1, Q):
+                s = out[idx] if s is None else s + out[idx]
+            out[0] = mom_list[0] - s
             return out
 
     return pops_from(mf), pops_from(mg)
