@@ -24,10 +24,17 @@ from . import mesh as mesh_lib
 
 
 def make_sharded_step(mesh: Mesh, params: LBMParams, *,
-                      with_hydro: bool = False, donate: bool = True):
+                      with_hydro: bool = False, donate: bool = True,
+                      ref_state=None):
     """Compile one timestep pinned to the mesh.
 
     Returns step(state) -> state (or (state, packed_hydro) if with_hydro).
+    ref_state: optional (rho_eq, phi_eq, com_ref) — the reference's
+    USE_REF_STATE noise path (LBM_binary.H:92-106) under GSPMD: the COM
+    reduction becomes a psum and the integer COM-frame roll a collective
+    permute; the threefry noise stream is decomposition-invariant, so
+    trajectories match the single-device path on any mesh
+    (tests/test_sharding.py).
     """
     from ..ops import hydro as hydro_ops
 
@@ -37,13 +44,13 @@ def make_sharded_step(mesh: Mesh, params: LBMParams, *,
 
     if with_hydro:
         def fn(state: SimState):
-            new_state, h = model.step(state, params)
+            new_state, h = model.step(state, params, ref_state)
             return new_state, hydro_ops.pack(h)
 
         out_sh = (sh, pop)  # packed hydro: (22, X, Y, Z)
     else:
         def fn(state: SimState):
-            new_state, _ = model.step(state, params)
+            new_state, _ = model.step(state, params, ref_state)
             return new_state
 
         out_sh = sh

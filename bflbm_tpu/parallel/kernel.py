@@ -129,6 +129,18 @@ def make_kernel_nsteps(mesh: Mesh, params: LBMParams, n: int,
         # therefore drops the whole sweep back to the serial path.
         if overlap == "force":
             want_x = want_y = True
+        elif overlap == "auto":
+            # Profit gate from the single-chip measurement
+            # (benchmarks/results: overlap='force' vs serial at 256^3):
+            # the split's seam-band recompute costs +9.6% deterministic
+            # but +21.4% fluctuating (narrow-band pallas launches +
+            # per-band noise generation), while the ICI exchange it
+            # hides is ~5-10% of a sweep on v5e meshes.  So 'auto'
+            # splits only when noise is off; fluctuating runs keep the
+            # serial exchange (pass overlap=True to override — e.g.
+            # when ICI is the bottleneck: DCN multi-host, large T).
+            want_x = mesh.shape["x"] > 1 and not params.noise_on
+            want_y = mesh.shape["y"] > 1 and not params.noise_on
         elif overlap:
             want_x = mesh.shape["x"] > 1
             want_y = mesh.shape["y"] > 1

@@ -104,7 +104,7 @@ def test_kernel_overlap_split_noise_invariant():
     params = LBMParams(alpha0=0.0, kBT=1e-5)
     shape = (16, 96, 128)
     state = model.init_mixture(shape, params, dtype=jnp.float32)
-    a = _run((2, 4, 1), state, params, 3, block=1, overlap="auto")
+    a = _run((2, 4, 1), state, params, 3, block=1, overlap=True)
     b = _run((2, 4, 1), state, params, 3, block=1, overlap=False)
     np.testing.assert_allclose(np.asarray(a.f), np.asarray(b.f),
                                rtol=0, atol=1e-7)

@@ -54,3 +54,38 @@ def test_entry_compiles():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 2, 4)])
+def test_ref_state_noise_sharded_matches_single(mesh_shape):
+    """USE_REF_STATE (LBM_binary.H:92-106) under GSPMD: equilibrium-state
+    amplitudes + COM-frame roll produce the same trajectory on a mesh as
+    on one device (COM -> psum, roll -> collective permute, threefry
+    noise decomposition-invariant)."""
+    params = LBMParams(alpha0=1.5, kBT=1e-5, kappa=0.1, rho_lo=0.1,
+                       rho_hi=3.0)
+    shape = (16, 16, 16)
+    state = model.init_droplet(shape, params, dtype=jnp.float32,
+                               radius=0.25)
+    rho_eq = np.asarray(jnp.sum(state.f, axis=0))
+    phi_eq = np.asarray(jnp.sum(state.g, axis=0))
+    from bflbm_tpu.observables import stats
+
+    com_ref = np.asarray(stats.center_of_mass(rho_eq))
+    ref = (jnp.asarray(rho_eq), jnp.asarray(phi_eq), jnp.asarray(com_ref))
+
+    sref = state
+    for _ in range(3):
+        sref, _h = model.step(sref, params, ref)
+
+    mesh = mesh_lib.make_mesh(mesh_shape)
+    sharded = mesh_lib.shard_state(state, mesh)
+    step = auto_par.make_sharded_step(mesh, params, donate=False,
+                                      ref_state=ref)
+    for _ in range(3):
+        sharded = step(sharded)
+
+    np.testing.assert_allclose(np.asarray(sharded.f), np.asarray(sref.f),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sharded.g), np.asarray(sref.g),
+                               rtol=0, atol=1e-5)
