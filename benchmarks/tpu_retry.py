@@ -30,7 +30,11 @@ def run_once(cmd, init_window, hard_timeout):
     def pump():
         for line in proc.stdout:
             last_out[0] = time.time()
-            got_any[0] = True
+            # boilerplate emitted BEFORE the backend connects must not
+            # satisfy the init-window (the axon plugin warns at import,
+            # then the first device op can still hang forever)
+            if "is experimental" not in line and line.strip():
+                got_any[0] = True
             sys.stdout.write(line)
             sys.stdout.flush()
 

@@ -279,6 +279,57 @@ def noise_dump_covariance():
         shutil.rmtree(out, ignore_errors=True)
 
 
+def use_ref_kernel():
+    """USE_REF_STATE on the kernel path (LBM_binary.H:92-106): the
+    (rho_eq, phi_eq) stack streamed as a third operand.  Hardware
+    checks: (1) cells whose ref densities are zero draw exactly zero
+    noise -> bitwise equal to the kBT=0 run on the eroded interior of
+    the zero region, with the production hw+hash hybrid noise and
+    temporal blocking; (2) ref-mode throughput (the extra ~5% HBM
+    stream)."""
+    shape = (128, 256, 256)
+    n = 6
+    params = LBMParams(alpha0=0.0, kBT=1e-5)
+    params0 = LBMParams(alpha0=0.0, kBT=0.0)
+    st = model.init_mixture(shape, params, dtype=jnp.float32)
+    zero = np.zeros(shape, bool)
+    lo, hi = (16, 16, 0), (80, 112, shape[2])
+    zero[lo[0]:hi[0], lo[1]:hi[1], :] = True
+    rho_ref = jnp.asarray(np.where(zero, 0.0, 1.0), jnp.float32)
+    ref2 = jnp.stack([rho_ref, rho_ref])
+    got = fused_step.make_nsteps(params, n, block=2,
+                                 use_ref=True)(st, ref2)
+    st = model.init_mixture(shape, params, dtype=jnp.float32)
+    base = fused_step.make_nsteps(params0, n, block=2)(st)
+    df = np.asarray(got.f) - np.asarray(base.f)
+    inner = np.zeros(shape, bool)
+    inner[lo[0] + n:hi[0] - n, lo[1] + n:hi[1] - n, :] = True
+    interior_max = float(np.abs(df[:, inner]).max())
+    outside = np.zeros(shape, bool)
+    outside[:lo[0] - n, :, :] = True
+    outside_max = float(np.abs(df[:, outside]).max())
+    check(interior_max == 0.0 and outside_max > 1e-5,
+          "use_ref_zero_region_bitwise", interior_max=interior_max,
+          outside_max=outside_max)
+    # throughput with a realistic (nonzero) ref
+    shape = (256, 256, 256)
+    cells = float(np.prod(shape))
+    nthr = 50
+    st = model.init_mixture(shape, params, dtype=jnp.float32)
+    ref2 = jnp.stack([jnp.full(shape, 1.0, jnp.float32),
+                      jnp.full(shape, 1.0, jnp.float32)])
+    run = fused_step.make_nsteps(params, nthr, use_ref=True)
+    st = run(st, ref2)
+    fetch_scalar(st)
+    tt = time.time()
+    for _ in range(2):
+        st = run(st, ref2)
+        fetch_scalar(st)
+    dt = (time.time() - tt) / 2
+    log("mlups_fluct_use_ref", mlups=round(cells * nthr / dt / 1e6, 1),
+        ms_per_step=round(dt / nthr * 1000, 3))
+
+
 def throughput(fast):
     """MLUPS for block 1 vs 2, fluctuating + deterministic + coupled."""
     shape = (256, 256, 256)
@@ -322,6 +373,7 @@ def main():
         "ext": ext_mode_parity,
         "ext_multitile": ext_mode_multitile,
         "noise_dump": noise_dump_covariance,
+        "use_ref": use_ref_kernel,
         "throughput": lambda: throughput(args.fast),
     }
     names = args.only.split(",") if args.only else list(sections)

@@ -357,15 +357,19 @@ def hash_normals(word, step, origin, region, domain, dtype,
 # ---------------------------------------------------------------------------
 
 def _k_compute(params: LBMParams, read_f, read_g, nx, ny, normals,
-               transform, mmat_ref, minv_ref, dtype):
+               transform, mmat_ref, minv_ref, dtype, ref_rp=None):
     """Pure compute of one K on an (nx, ny, Z) region.
 
     read_f/read_g(idx, x0, w, y0, h): population idx of the INPUT
     (post-collide) state on the rectangle [x0, x0+w) x [y0, y0+h) x Z in
     region coordinates (x0/y0 may reach down to -2: one K consumes a
     2-cell halo).  normals: (n1, n2) per-pair lists on the region, or
-    None when noise is off.  Returns (f_pops, g_pops) lists of 19
-    (nx, ny, Z) arrays — the post-collide output on the region.
+    None when noise is off.  ref_rp: optional (rho_ref, phi_ref) region
+    arrays — the USE_REF_STATE path (LBM_binary.H:92-106): noise
+    amplitudes evaluated at the COM-rolled stored equilibrium state
+    instead of the instantaneous densities.  Returns (f_pops, g_pops)
+    lists of 19 (nx, ny, Z) arrays — the post-collide output on the
+    region.
 
     Physics: streamed moments -> SC force (LBM_binary.H:254-255) ->
     real-velocity reconstruction (LBM_binary.H:266-272) -> barycentric
@@ -517,11 +521,14 @@ def _k_compute(params: LBMParams, read_f, read_g, nx, ny, normals,
         kBT = params.kBT
         pref_f = 2.0 * (lam_f - 0.5 * lam_f * lam_f) * kBT
         pref_g = 2.0 * (lam_g - 0.5 * lam_g * lam_g) * kBT
-        rhot_ = rho + phi
+        # USE_REF_STATE: amplitudes from the stored (rolled) equilibrium
+        # densities; otherwise from the live streamed mass moments
+        # (== the jnp path's pre-collide hydro in K-space).
+        a_rho, a_phi = ref_rp if ref_rp is not None else (rho, phi)
         amp_mom = jnp.sqrt(
-            pref_f * jnp.abs(rho * phi * safe_inv(rhot_)))
-        sq_rho = jnp.sqrt(jnp.abs(rho))
-        sq_phi = jnp.sqrt(jnp.abs(phi))
+            pref_f * jnp.abs(a_rho * a_phi * safe_inv(a_rho + a_phi)))
+        sq_rho = jnp.sqrt(jnp.abs(a_rho))
+        sq_phi = jnp.sqrt(jnp.abs(a_phi))
 
         def normal(a):
             return n1[a // 2] if a % 2 == 0 else n2[a // 2]
@@ -685,8 +692,8 @@ def _k_compute(params: LBMParams, read_f, read_g, nx, ny, normals,
 
 def _step_kernel(params: LBMParams, shape, gdomain, bx, by, block,
                  noise_on, mode, transform, noise_impl, noise_dist,
-                 ext_mode, mmat_ref, minv_ref, seed_ref,
-                 fc_hbm, gc_hbm, fout_hbm, gout_hbm):
+                 ext_mode, use_ref, mmat_ref, minv_ref, seed_ref,
+                 fc_hbm, gc_hbm, *hbm_rest):
     """Grid program: `block` K-steps on one (bx, by, Z) interior tile.
 
     Cross-grid-step double buffering: while tile t computes, tile t+1's
@@ -701,7 +708,17 @@ def _step_kernel(params: LBMParams, shape, gdomain, bx, by, block,
     contiguous fragment with no periodic wrap; seed_ref carries the
     shard's global origin for the coordinate-keyed noise; `gdomain` is
     the global domain shape (== `shape` in single-device mode).
+
+    use_ref: a third streamed input — the (2, X, Y, Z) COM-rolled
+    (rho_eq, phi_eq) stack — rides the same tiling/DMA pipeline as
+    f/g (channel depth 2 instead of 19, ~5% extra HBM traffic) and
+    feeds the noise amplitudes (USE_REF_STATE, LBM_binary.H:92-106).
     """
+    if use_ref:
+        ref_hbm, fout_hbm, gout_hbm = hbm_rest
+    else:
+        ref_hbm = None
+        fout_hbm, gout_hbm = hbm_rest
     X, Y, Z = shape
     gx, gy = X // bx, Y // by
     n_tiles = gx * gy
@@ -720,7 +737,13 @@ def _step_kernel(params: LBMParams, shape, gdomain, bx, by, block,
     # VMEM copy, removing the y-halo re-reads entirely.
     sweep = (by % py == 0 and gy >= 2 and mode != "tiles")
 
-    def body(ext_f2, ext_g2, out_f2, out_g2, sems_in, sems_out):
+    def body(ext_f2, ext_g2, out_f2, out_g2, sems_in, sems_out,
+             ext_r2=None):
+        in_srcs = (fc_hbm, gc_hbm) + ((ref_hbm,) if use_ref else ())
+
+        def in_dsts():
+            return (ext_f2, ext_g2) + ((ext_r2,) if use_ref else ())
+
         def in_copies_full(tt, slot):
             """All halo fragments for tile tt (row starts / tiles mode):
             9 wrapped fragments in periodic mode, 1 contiguous block in
@@ -729,8 +752,7 @@ def _step_kernel(params: LBMParams, shape, gdomain, bx, by, block,
             jj = tt - ii * gy
             cps = []
             if ext_mode:
-                for si, src in enumerate((fc_hbm, gc_hbm)):
-                    dst = ext_f2 if si == 0 else ext_g2
+                for src, dst in zip(in_srcs, in_dsts()):
                     cps.append(pltpu.make_async_copy(
                         src.at[:, pl.ds(ii * bx, exb),
                                pl.ds(pl.multiple_of(jj * by, 8), eyb), :],
@@ -741,8 +763,7 @@ def _step_kernel(params: LBMParams, shape, gdomain, bx, by, block,
             xs = _mod_starts(ii, bx, px, X)
             ys = _mod_starts(jj, by, py, Y)
             ys = tuple(pl.multiple_of(y, 8) for y in ys)
-            for si, src in enumerate((fc_hbm, gc_hbm)):
-                dst = ext_f2 if si == 0 else ext_g2
+            for src, dst in zip(in_srcs, in_dsts()):
                 dx = 0
                 for a in range(3):
                     dy = 0
@@ -772,8 +793,7 @@ def _step_kernel(params: LBMParams, shape, gdomain, bx, by, block,
             jj = tt - ii * gy
             cps = []
             if ext_mode:
-                for si, src in enumerate((fc_hbm, gc_hbm)):
-                    dst = ext_f2 if si == 0 else ext_g2
+                for src, dst in zip(in_srcs, in_dsts()):
                     cps.append(pltpu.make_async_copy(
                         src.at[:, pl.ds(ii * bx, exb),
                                pl.ds(pl.multiple_of(jj * by + 2 * py, 8),
@@ -791,8 +811,7 @@ def _step_kernel(params: LBMParams, shape, gdomain, bx, by, block,
                 # wrap at the row end: [Y-PY, Y) then [0, BY-PY)
                 yparts = ((pl.multiple_of(Y - py, 8), 2 * py, py),
                           (0, 2 * py + py, by - py))
-            for si, src in enumerate((fc_hbm, gc_hbm)):
-                dst = ext_f2 if si == 0 else ext_g2
+            for src, dst in zip(in_srcs, in_dsts()):
                 dx = 0
                 for a in range(3):
                     for (ys, dy, ny) in yparts:
@@ -813,6 +832,9 @@ def _step_kernel(params: LBMParams, shape, gdomain, bx, by, block,
                 ext_f2[src_slot, :, :, by:by + 2 * py, :]
             ext_g2[dst_slot, :, :, 0:2 * py, :] = \
                 ext_g2[src_slot, :, :, by:by + 2 * py, :]
+            if use_ref:
+                ext_r2[dst_slot, :, :, 0:2 * py, :] = \
+                    ext_r2[src_slot, :, :, by:by + 2 * py, :]
 
         def out_copies(tt, slot):
             ii = tt // gy
@@ -1043,9 +1065,16 @@ def _step_kernel(params: LBMParams, shape, gdomain, bx, by, block,
             nx, ny = bx + 2 * p_s, by + 2 * p_s
             if noise_on and phase_normals[s] is None:
                 phase_normals[s] = gen_normals(s)
+            ref_rp = None
+            if use_ref and noise_on:
+                # ref fields are static across phases: read this
+                # phase's region straight from the ext buffer
+                rrd = ref_reader(ext_r2.at[slot], p_s)
+                ref_rp = (rrd(0, 0, nx, 0, ny), rrd(1, 0, nx, 0, ny))
             f_l, g_l = _k_compute(params, cur_f, cur_g, nx, ny,
                                   phase_normals[s], transform,
-                                  mmat_ref, minv_ref, dtype)
+                                  mmat_ref, minv_ref, dtype,
+                                  ref_rp=ref_rp)
             phase_normals[s] = None  # release
             if s < block - 1:
                 cur_f = list_reader(f_l)
@@ -1070,21 +1099,24 @@ def _step_kernel(params: LBMParams, shape, gdomain, bx, by, block,
                     for cp in out_copies(t - 1, jax.lax.rem(t + 1, jnp.int32(2))):
                         cp.wait()
 
-    pl.run_scoped(
-        body,
+    scope = dict(
         ext_f2=pltpu.VMEM((2, Q, exb, eyb, Z), fout_hbm.dtype),
         ext_g2=pltpu.VMEM((2, Q, exb, eyb, Z), fout_hbm.dtype),
         out_f2=pltpu.VMEM((2, Q, bx, by, Z), fout_hbm.dtype),
         out_g2=pltpu.VMEM((2, Q, bx, by, Z), fout_hbm.dtype),
-        sems_in=pltpu.SemaphoreType.DMA((2, 18)),
+        sems_in=pltpu.SemaphoreType.DMA((2, 27 if use_ref else 18)),
         sems_out=pltpu.SemaphoreType.DMA((2, 2)),
     )
+    if use_ref:
+        scope["ext_r2"] = pltpu.VMEM((2, 2, exb, eyb, Z), fout_hbm.dtype)
+    pl.run_scoped(body, **scope)
 
 
 def _fused_step_call(params: LBMParams, shape, tile, noise_on,
                      seed, fc, gc, mode="auto", transform="eo",
                      block=1, noise_impl="hw", noise_dist="clt4",
-                     gdomain=None, ext_mode=False, interpret=False):
+                     gdomain=None, ext_mode=False, interpret=False,
+                     ref=None):
     """`block` K-steps over the (local) domain `shape`.
 
     seed = int32 [word_0..word_{block-1}, step] (periodic mode) or
@@ -1092,36 +1124,45 @@ def _fused_step_call(params: LBMParams, shape, tile, noise_on,
     _step_kernel) — one random word per physical step.
     In ext_mode fc/gc are pre-extended local blocks of shape
     (Q, X + 4*block, Y + 2*_PY, Z); outputs are interior-shaped.
+    ref: optional (2, X, Y, Z) COM-rolled (rho_eq, phi_eq) stack
+    (pre-extended like fc/gc in ext_mode) — USE_REF_STATE noise
+    amplitudes.
     """
     X, Y, Z = shape
     bx, by = tile
     assert X % bx == 0 and Y % by == 0, (shape, tile)
     assert ext_mode or 2 * block <= X, (shape, block)
+    use_ref = ref is not None and noise_on
     grid = (X // bx, Y // by)
     kern = functools.partial(_step_kernel, params, shape,
                              gdomain or shape, bx, by, block,
                              noise_on, mode, transform, noise_impl,
-                             noise_dist, ext_mode)
+                             noise_dist, ext_mode, use_ref)
     out_shape = [jax.ShapeDtypeStruct((Q, X, Y, Z), fc.dtype)] * 2
     mmat = jnp.asarray(M, fc.dtype)
     minv = jnp.asarray(M_INV, fc.dtype)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # M
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # M_INV
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # seed
+        pl.BlockSpec(memory_space=pl.ANY),       # fc (HBM)
+        pl.BlockSpec(memory_space=pl.ANY),       # gc (HBM)
+    ]
+    operands = [mmat, minv, seed, fc, gc]
+    if use_ref:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # ref (HBM)
+        operands.append(jnp.asarray(ref, fc.dtype))
     fo, go = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # M
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # M_INV
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # seed
-            pl.BlockSpec(memory_space=pl.ANY),       # fc (HBM)
-            pl.BlockSpec(memory_space=pl.ANY),       # gc (HBM)
-        ],
+        in_specs=in_specs,
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(mmat, minv, seed, fc, gc)
+    )(*operands)
     return fo, go
 
 
@@ -1129,8 +1170,12 @@ def fused_stream_collide(state: SimState, params: LBMParams,
                          tile=None, mode="auto",
                          transform="eo", block=1,
                          noise_impl="hw",
-                         noise_dist="clt4") -> SimState:
-    """`block` K = collide o stream updates in post-collide state space."""
+                         noise_dist="clt4", ref=None) -> SimState:
+    """`block` K = collide o stream updates in post-collide state space.
+
+    ref: optional (2, X, Y, Z) COM-rolled (rho_eq, phi_eq) — the
+    USE_REF_STATE amplitude source, held fixed for the `block` steps.
+    """
     shape = tuple(state.f.shape[1:])
     tile = tile or _choose_tile(shape, block, params.noise_on)
     # advance the key once per physical step — and draw one word per
@@ -1148,15 +1193,24 @@ def fused_stream_collide(state: SimState, params: LBMParams,
     seed = jnp.concatenate(words + [state.step.astype(jnp.int32)[None]])
     fo, go = _fused_step_call(params, shape, tile, params.noise_on,
                               seed, state.f, state.g, mode, transform,
-                              block, noise_impl, noise_dist)
+                              block, noise_impl, noise_dist, ref=ref)
     return SimState(f=fo, g=go, key=key, step=state.step + block)
 
 
 def make_nsteps(params: LBMParams, n: int, tile=None, force: bool = False,
                 mode: str = "auto", transform: str = "eo",
                 perm=None, block=None, noise_impl: str = "hw",
-                noise_dist: str = "clt4"):
+                noise_dist: str = "clt4", use_ref: bool = False):
     """n standard steps via the fused kernel.
+
+    use_ref: the returned fn takes a second argument ref2 — the
+    (2, X, Y, Z) COM-rolled (rho_eq, phi_eq) stack — and evaluates the
+    noise amplitudes at it (USE_REF_STATE, LBM_binary.H:92-106) for all
+    n steps.  The caller re-rolls per chunk (run.py); the reference
+    updates the COM every step, but the integer shift changes only when
+    the COM crosses a cell boundary (~diffusively rare), so per-chunk
+    rolling is exact whenever the rounded COM is constant over the
+    chunk.
 
     Returns jitted fn: SimState (post-stream) -> SimState (post-stream).
     Shapes the kernel cannot tile directly run in a permuted lattice frame
@@ -1179,8 +1233,16 @@ def make_nsteps(params: LBMParams, n: int, tile=None, force: bool = False,
     if n < 1:
         raise ValueError("n >= 1")
 
-    def run_jnp(state: SimState) -> SimState:
-        return model.nsteps(state, params, n)
+    def run_jnp(state: SimState, ref2=None) -> SimState:
+        if ref2 is None:
+            return model.nsteps(state, params, n)
+
+        def body(s, _):
+            s, _h = model.step(s, params, (ref2[0], ref2[1], None))
+            return s, None
+
+        out, _ = jax.lax.scan(body, state, None, length=n)
+        return out
 
     def pick_block(shape):
         if block is not None:
@@ -1204,11 +1266,12 @@ def make_nsteps(params: LBMParams, n: int, tile=None, force: bool = False,
             return 2 if hybrid_ok else 1
         return 2 if shape[0] >= 4 else 1
 
-    def fused_body(s: SimState, shape) -> SimState:
+    def fused_body(s: SimState, shape, ref2=None) -> SimState:
         T = pick_block(shape)
         tl = tile or _choose_tile(shape, T, params.noise_on)
         # enter post-collide space: one jnp prelude+collide
-        h, xi_f, xi_g, key = model.prelude(s, params)
+        ref_st = None if ref2 is None else (ref2[0], ref2[1], None)
+        h, xi_f, xi_g, key = model.prelude(s, params, ref_st)
         f1, g1 = collide_ops.collide(s.f, s.g, h, xi_f, xi_g, params)
         s = SimState(f=f1, g=g1, key=key, step=s.step + 1)
 
@@ -1219,29 +1282,30 @@ def make_nsteps(params: LBMParams, n: int, tile=None, force: bool = False,
             def body(s, _):
                 return fused_stream_collide(s, params, tl, mode,
                                             transform, T,
-                                            noise_impl, noise_dist), None
+                                            noise_impl, noise_dist,
+                                            ref=ref2), None
 
             s, _ = jax.lax.scan(body, s, None, length=n_blocked)
         for _ in range(n_rest):
             s = fused_stream_collide(s, params, tl, mode, transform, 1,
-                                     noise_impl, noise_dist)
+                                     noise_impl, noise_dist, ref=ref2)
         # exit: stream the last post-collide state
         return SimState(f=stream_ops.stream(s.f), g=stream_ops.stream(s.g),
                         key=s.key, step=s.step)
 
-    def run(state: SimState) -> SimState:
+    def run(state: SimState, ref2=None) -> SimState:
         shape = tuple(state.f.shape[1:])
         if not force and params.alpha1 != 0.0:
-            return run_jnp(state)
+            return run_jnp(state, ref2)
         p = perm
         if p is None:
             if force or supports_shape(shape):
-                return fused_body(state, shape)
+                return fused_body(state, shape, ref2)
             p = axis_perm_for_shape(shape)
             if p is None:
-                return run_jnp(state)
+                return run_jnp(state, ref2)
         if p == (0, 1, 2):
-            return fused_body(state, shape)
+            return fused_body(state, shape, ref2)
         # run in the permuted lattice frame (see axis_perm_for_shape)
         idx = _pop_perm(p)
         pinv = _inverse_perm(p)
@@ -1249,9 +1313,17 @@ def make_nsteps(params: LBMParams, n: int, tile=None, force: bool = False,
         sp = SimState(f=_permute_pops(state.f, p, idx),
                       g=_permute_pops(state.g, p, idx),
                       key=state.key, step=state.step)
-        out = fused_body(sp, tuple(shape[a] for a in p))
+        ref_p = None if ref2 is None else jnp.transpose(
+            ref2, (0,) + tuple(a + 1 for a in p))
+        out = fused_body(sp, tuple(shape[a] for a in p), ref_p)
         return SimState(f=_permute_pops(out.f, pinv, idx_inv),
                         g=_permute_pops(out.g, pinv, idx_inv),
                         key=out.key, step=out.step)
 
-    return jax.jit(run, donate_argnums=0)
+    if use_ref:
+        return jax.jit(run, donate_argnums=0)
+
+    def run_noref(state: SimState) -> SimState:
+        return run(state)
+
+    return jax.jit(run_noref, donate_argnums=0)

@@ -45,6 +45,8 @@ def prelude(state: SimState, params: LBMParams, ref_state=None):
     reference's USE_REF_STATE noise path — amplitudes evaluated at the
     stored equilibrium state translated into the instantaneous
     center-of-mass frame (LBM_binary.H:92-106 + update_com per step).
+    com_ref=None marks the fields as PRE-ROLLED (the kernel engines
+    roll once per chunk): they are used as-is with zero shift.
     """
     hbar = hydro_ops.hydrovars_bar(state.f, state.g, params)
     key, sub = jax.random.split(state.key)
@@ -52,8 +54,11 @@ def prelude(state: SimState, params: LBMParams, ref_state=None):
         from ..observables import stats
 
         rho_eq, phi_eq, com_ref = ref_state
-        com = stats.center_of_mass(hbar.rho)
-        noise_ref = (rho_eq, phi_eq, com - jnp.asarray(com_ref))
+        if com_ref is None:
+            noise_ref = (rho_eq, phi_eq, jnp.zeros(3, hbar.rho.dtype))
+        else:
+            com = stats.center_of_mass(hbar.rho)
+            noise_ref = (rho_eq, phi_eq, com - jnp.asarray(com_ref))
     else:
         noise_ref = None
     xi_f, xi_g = noise_ops.thermal_noise(sub, hbar.rho, hbar.phi, params,

@@ -336,3 +336,106 @@ def test_fused_single_step_is_jnp_step():
     with pltpu.force_tpu_interpret_mode():
         got = fused_step.make_nsteps(params, 1, force=True)(state)
     np.testing.assert_allclose(np.asarray(got.f), np.asarray(ref.f), atol=0)
+
+
+# ---------------------------------------------------------------------------
+# USE_REF_STATE on the kernel path (LBM_binary.H:92-106): the ref stack
+# is a third streamed operand feeding the noise amplitudes.
+# ---------------------------------------------------------------------------
+
+def _zero_region_mask(shape, lo, hi):
+    m = np.zeros(shape, bool)
+    m[lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]] = True
+    return m
+
+
+@pytest.mark.parametrize("block", [1, 2])
+def test_kernel_ref_zero_amplitude_region_bitwise(block):
+    """Cells whose (rolled) ref densities are zero draw zero noise: the
+    fluctuating ref-mode run must BITWISE equal the kBT=0 run on the
+    interior of the zero region (eroded by one cell per step for the
+    streaming light cone).  A misaligned ref region read in any temporal
+    phase shifts the zero/noise boundary and breaks the equality."""
+    shape = (16, 16, 128)
+    n = 3
+    params = LBMParams(alpha0=0.0, kBT=1e-5)
+    params0 = LBMParams(alpha0=0.0, kBT=0.0)
+    state = model.init_mixture(shape, params, dtype=jnp.float32)
+
+    zero = _zero_region_mask(shape, (2, 2, 0), (10, 12, 128))
+    rho_ref = jnp.asarray(np.where(zero, 0.0, 1.0), jnp.float32)
+    ref2 = jnp.stack([rho_ref, rho_ref])
+
+    state2 = model.init_mixture(shape, params, dtype=jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_step.make_nsteps(params, n, force=True,
+                                     tile=(shape[0], shape[1]),
+                                     block=block, noise_impl="hash",
+                                     use_ref=True)(state, ref2)
+        base = fused_step.make_nsteps(params0, n, force=True,
+                                      tile=(shape[0], shape[1]),
+                                      block=block)(state2)
+    df = np.asarray(got.f) - np.asarray(base.f)
+    # erode by n cells in x/y (stream reach; z is unsharded and the
+    # zero region spans all of z)
+    interior = _zero_region_mask(shape, (2 + n, 2 + n, 0),
+                                 (10 - n, 12 - n, 128))
+    outside = ~_zero_region_mask(shape, (2 - n, 2 - n, 0),
+                                 (10 + n, 12 + n, 128))
+    assert np.all(df[:, interior] == 0.0), \
+        np.abs(df[:, interior]).max()
+    # sanity: noise IS injected where the ref densities are nonzero
+    assert np.abs(df[:, outside]).max() > 1e-5
+
+
+def test_kernel_ref_amplitude_scaling():
+    """Scaling the ref densities by 4 scales every noise amplitude by
+    exactly 2 (amp_mom and the ghost amps are homogeneous of degree 1/2
+    in (rho_ref, phi_ref)) — the state perturbation doubles to first
+    order in the noise."""
+    shape = (8, 8, 128)
+    n = 2
+    params = LBMParams(alpha0=0.0, kBT=1e-5)
+    params0 = LBMParams(alpha0=0.0, kBT=0.0)
+    state = model.init_mixture(shape, params, dtype=jnp.float32)
+    ref1 = jnp.stack([jnp.full(shape, 1.0, jnp.float32),
+                      jnp.full(shape, 1.0, jnp.float32)])
+
+    with pltpu.force_tpu_interpret_mode():
+        mk = lambda p, ur: fused_step.make_nsteps(  # noqa: E731
+            p, n, force=True, tile=(shape[0], shape[1]), block=1,
+            noise_impl="hash", use_ref=ur)
+        base = mk(params0, False)(state)
+        a = mk(params, True)(
+            model.init_mixture(shape, params, dtype=jnp.float32), ref1)
+        b = mk(params, True)(
+            model.init_mixture(shape, params, dtype=jnp.float32),
+            4.0 * ref1)
+    d1 = np.asarray(a.f) - np.asarray(base.f)
+    d2 = np.asarray(b.f) - np.asarray(base.f)
+    resid = np.linalg.norm(d2 - 2.0 * d1) / np.linalg.norm(d1)
+    assert resid < 2e-2, resid
+    assert np.linalg.norm(d1) > 1e-4
+
+
+def test_make_nsteps_ref_jnp_fallback_matches_step():
+    """The jnp fallback of make_nsteps(use_ref=True) (alpha1 != 0 or
+    unsupported shapes) applies the pre-rolled ref fields exactly like
+    model.step with a zero COM shift."""
+    shape = (6, 6, 6)  # unsupported by the kernel -> run_jnp
+    params = LBMParams(alpha0=0.0, kBT=1e-5)
+    state = model.init_mixture(shape, params, dtype=jnp.float32)
+    rho_ref = jnp.asarray(
+        1.0 + 0.1 * np.random.default_rng(0).random(shape), jnp.float32)
+    ref2 = jnp.stack([rho_ref, 0.5 * rho_ref])
+
+    ref = state
+    for _ in range(3):
+        ref, _h = model.step(ref, params, (ref2[0], ref2[1], None))
+
+    got = fused_step.make_nsteps(params, 3, use_ref=True)(state, ref2)
+    # jit(scan) vs eager step: identical graph up to XLA fusion round-off
+    np.testing.assert_allclose(np.asarray(got.f), np.asarray(ref.f),
+                               rtol=0, atol=5e-7)
+    np.testing.assert_allclose(np.asarray(got.g), np.asarray(ref.g),
+                               rtol=0, atol=5e-7)
