@@ -85,13 +85,22 @@ def make_kernel_nsteps(mesh: Mesh, params: LBMParams, n: int,
                        transform: str = "eo",
                        noise_impl: str = "hw", noise_dist: str = "clt4",
                        interpret: bool = False,
-                       donate: bool = True, overlap="auto"):
+                       donate: bool = True, overlap="auto",
+                       use_ref: bool = False):
     """n standard steps: fused Pallas kernel per shard + ppermute halos.
 
     Returns jitted SimState -> SimState over the mesh.  ``block`` = T
     K-steps per halo exchange (temporal blocking amortizes both the HBM
     halo traffic and the ICI exchange).  ``interpret`` runs the kernel
     in Pallas interpret mode (CPU dryrun; requires single-tile shards).
+
+    ``use_ref``: the returned fn takes a second argument ref2 — the
+    GLOBAL (2, X, Y, Z) COM-rolled (rho_eq, phi_eq) stack (USE_REF_STATE,
+    LBM_binary.H:92-106), sharded like the fields — and evaluates the
+    noise amplitudes at it.  The stack is static over the n steps, so it
+    is ppermute-extended alongside the population halos each sweep (its
+    halo is 2/38 of the field traffic) and rides the kernel's third
+    streamed operand.
 
     ``overlap`` controls ICI/compute overlap (the comm/compute design
     point of SURVEY.md §5; the reference never overlapped its per-step
@@ -153,23 +162,29 @@ def make_kernel_nsteps(mesh: Mesh, params: LBMParams, n: int,
         split = sx or sy
         tl = tile or _choose_tile(shape_loc, T, params.noise_on)
 
-        def call(shape_c, tl_c, seed, fi, gi):
+        def call(shape_c, tl_c, seed, fi, gi, ri=None):
             return _fused_step_call(
                 params, shape_c, tl_c, params.noise_on, seed, fi, gi,
                 mode, transform, T, noise_impl, noise_dist,
-                gdomain=gdomain, ext_mode=True, interpret=interpret)
+                gdomain=gdomain, ext_mode=True, interpret=interpret,
+                ref=ri)
 
         def pick(shape_c):
             if interpret:        # single-tile grids only (CLAUDE.md)
                 return (shape_c[0], shape_c[1])
             return _choose_tile(shape_c, T, params.noise_on)
 
-        def local_sweep(f_loc, g_loc, words, step0):
+        def local_sweep(f_loc, g_loc, words, step0, *maybe_ref):
+            r_loc = maybe_ref[0] if maybe_ref else None
             f_ext, g_ext = f_loc, g_loc
             f_ext = halo_par.exchange_halo(f_ext, "x", 1, px)
             g_ext = halo_par.exchange_halo(g_ext, "x", 1, px)
             f_ext = halo_par.exchange_halo(f_ext, "y", 2, _PY)
             g_ext = halo_par.exchange_halo(g_ext, "y", 2, _PY)
+            r_ext = None
+            if r_loc is not None:
+                r_ext = halo_par.exchange_halo(r_loc, "x", 1, px)
+                r_ext = halo_par.exchange_halo(r_ext, "y", 2, _PY)
             ox0 = (jax.lax.axis_index("x") * Xl).astype(jnp.int32)
             oy0 = (jax.lax.axis_index("y") * Yl).astype(jnp.int32)
             base = jnp.concatenate([words, jnp.stack([step0])])
@@ -181,7 +196,7 @@ def make_kernel_nsteps(mesh: Mesh, params: LBMParams, n: int,
 
             if not split:
                 return call(shape_loc, tl if not interpret else (Xl, Yl),
-                            seed_at(0, 0), f_ext, g_ext)
+                            seed_at(0, 0), f_ext, g_ext, r_ext)
 
             # --- split sweep: interior first in program order, seam
             # bands after; only the bands read f_ext (the collectives'
@@ -193,30 +208,32 @@ def make_kernel_nsteps(mesh: Mesh, params: LBMParams, n: int,
             # interior ext pads on non-split axes are LOCAL periodic
             # wraps (those mesh axes have size 1 unless overlap="force",
             # where a size-1 exchange is a local wrap too)
-            f_in, g_in = f_loc, g_loc
+            f_in, g_in, r_in = f_loc, g_loc, r_loc
             if not sx:
                 f_in = halo_par.exchange_halo(f_in, "x", 1, px)
                 g_in = halo_par.exchange_halo(g_in, "x", 1, px)
+                if r_in is not None:
+                    r_in = halo_par.exchange_halo(r_in, "x", 1, px)
             if not sy:
                 f_in = halo_par.exchange_halo(f_in, "y", 2, _PY)
                 g_in = halo_par.exchange_halo(g_in, "y", 2, _PY)
+                if r_in is not None:
+                    r_in = halo_par.exchange_halo(r_in, "y", 2, _PY)
             fo_i, go_i = call((Xi, Yi, Zl), tile or pick((Xi, Yi, Zl)),
-                              seed_at(xi0, yi0), f_in, g_in)
+                              seed_at(xi0, yi0), f_in, g_in, r_in)
 
             def band(x0, wx, y0, wy):
                 """Seam-band call: out [x0,x0+wx) x [y0,y0+wy), inputs
                 sliced from the exchanged ext block (ext row r is global
                 local-x r - px, col c is y c - _PY)."""
-                fi = jax.lax.slice_in_dim(f_ext, x0, x0 + wx + 2 * px,
-                                          axis=1)
-                gi = jax.lax.slice_in_dim(g_ext, x0, x0 + wx + 2 * px,
-                                          axis=1)
-                fi = jax.lax.slice_in_dim(fi, y0, y0 + wy + 2 * _PY,
-                                          axis=2)
-                gi = jax.lax.slice_in_dim(gi, y0, y0 + wy + 2 * _PY,
-                                          axis=2)
+                def cut(a):
+                    a = jax.lax.slice_in_dim(a, x0, x0 + wx + 2 * px,
+                                             axis=1)
+                    return jax.lax.slice_in_dim(a, y0, y0 + wy + 2 * _PY,
+                                                axis=2)
                 return call((wx, wy, Zl), pick((wx, wy, Zl)),
-                            seed_at(x0, y0), fi, gi)
+                            seed_at(x0, y0), cut(f_ext), cut(g_ext),
+                            None if r_ext is None else cut(r_ext))
 
             mid_f, mid_g = fo_i, go_i
             if sy:
@@ -235,12 +252,13 @@ def make_kernel_nsteps(mesh: Mesh, params: LBMParams, n: int,
         # annotation, which the checker would otherwise reject
         return shard_map(
             local_sweep, mesh=mesh,
-            in_specs=(pspec, pspec, P(), P()),
+            in_specs=(pspec, pspec, P(), P())
+            + ((pspec,) if use_ref else ()),
             out_specs=(pspec, pspec),
             check_vma=False,
         )
 
-    def run(state: SimState) -> SimState:
+    def run(state: SimState, ref2=None) -> SimState:
         gshape = tuple(state.f.shape[1:])
         shape_loc = local_shape(mesh, gshape)
         if not supports_shape(shape_loc):
@@ -255,7 +273,8 @@ def make_kernel_nsteps(mesh: Mesh, params: LBMParams, n: int,
                 f"Y_local >= {_PY}); use a coarser mesh or block=1")
 
         # enter post-collide space (jnp prelude + collide, GSPMD-sharded)
-        h, xi_f, xi_g, key = model.prelude(state, params)
+        ref_st = None if ref2 is None else (ref2[0], ref2[1], None)
+        h, xi_f, xi_g, key = model.prelude(state, params, ref_st)
         f1, g1 = collide_ops.collide(state.f, state.g, h, xi_f, xi_g,
                                      params)
 
@@ -264,6 +283,8 @@ def make_kernel_nsteps(mesh: Mesh, params: LBMParams, n: int,
         n_blocked, n_rest = divmod(n_k, T) if n_k else (0, 0)
 
         def make_body(sweep_sm, T_):
+            ref_args = () if ref2 is None else (ref2,)
+
             def body(carry, _):
                 f, g, key, step = carry
                 # one word per physical step (drawn from the per-step key
@@ -276,7 +297,7 @@ def make_kernel_nsteps(mesh: Mesh, params: LBMParams, n: int,
                         sub, (), minval=jnp.iinfo(jnp.int32).min,
                         maxval=jnp.iinfo(jnp.int32).max, dtype=jnp.int32))
                 f, g = sweep_sm(f, g, jnp.stack(words),
-                                step.astype(jnp.int32))
+                                step.astype(jnp.int32), *ref_args)
                 return (f, g, k, step + T_), None
             return body
 
@@ -295,5 +316,13 @@ def make_kernel_nsteps(mesh: Mesh, params: LBMParams, n: int,
                         key=key, step=step)
 
     sh = mesh_lib.state_shardings(mesh)
-    return jax.jit(run, in_shardings=(sh,), out_shardings=sh,
+    if use_ref:
+        ref_sh = jax.sharding.NamedSharding(mesh, pspec)
+        return jax.jit(run, in_shardings=(sh, ref_sh), out_shardings=sh,
+                       donate_argnums=(0,) if donate else ())
+
+    def run_noref(state: SimState) -> SimState:
+        return run(state)
+
+    return jax.jit(run_noref, in_shardings=(sh,), out_shardings=sh,
                    donate_argnums=(0,) if donate else ())

@@ -125,20 +125,44 @@ def run(cfg: RunConfig, *, mesh=None, engine: str = "auto",
         raise ValueError(
             f"engine {engine!r} unavailable: USE_REF_STATE threads the "
             "equilibrium state through every step (jnp engine, or the "
-            "single-device fused kernel with per-chunk COM rolling)")
+            "fused kernel — single-device or shard_map — with per-chunk "
+            "COM rolling)")
     if chunk > 2 and engine != "jnp":
         on_tpu = jax.devices()[0].platform == "tpu"
         multi = mesh is not None and mesh.size > 1
+        ref2_fn = None
+        if cfg.use_ref_state:
+            # per-chunk COM roll for the kernel engines (the reference
+            # re-rolls every step via update_com, LBM_binary.H:92-106;
+            # the integer shift changes only when the COM crosses a cell
+            # boundary, so per-chunk is the same roll for any chunk in
+            # which round(com) is constant)
+            from .ops.noise import _roll3
+
+            com_ref_j = jnp.asarray(com_ref)
+
+            @jax.jit
+            def ref2_fn(f):
+                com = stats_obs.center_of_mass(jnp.sum(f, axis=0))
+                shift = jnp.round(com - com_ref_j).astype(jnp.int32)
+                return jnp.stack([_roll3(rho_eq, shift),
+                                  _roll3(phi_eq, shift)])
         if engine in ("auto", "pallas") and multi and on_tpu \
-                and p.alpha1 == 0.0 and not cfg.use_ref_state:
+                and p.alpha1 == 0.0:
             # multi-chip production path: Pallas kernel per shard under
             # shard_map with ppermute halo exchange (parallel/kernel.py)
             from .parallel import kernel as kernel_par
 
             if kernel_par.supports(mesh, cfg.shape,
                                    kernel_opts.get("block", 2)):
-                run_chunk = kernel_par.make_kernel_nsteps(
-                    mesh, p, chunk, **kernel_opts)
+                kfn = kernel_par.make_kernel_nsteps(
+                    mesh, p, chunk, use_ref=cfg.use_ref_state,
+                    **kernel_opts)
+                if cfg.use_ref_state:
+                    def run_chunk(s, _kfn=kfn):
+                        return _kfn(s, ref2_fn(s.f))
+                else:
+                    run_chunk = kfn
                 is_pallas = True
             else:
                 import warnings
@@ -157,30 +181,14 @@ def run(cfg: RunConfig, *, mesh=None, engine: str = "auto",
             if (fused_step.supports(cfg.shape)
                     and p.alpha1 == 0.0
                     and on_tpu):
-                run_chunk = fused_step.make_nsteps(
+                kernel_fn = fused_step.make_nsteps(
                     p, chunk, use_ref=cfg.use_ref_state, **kernel_opts)
                 is_pallas = True
                 if cfg.use_ref_state:
-                    # per-chunk COM roll (the reference re-rolls every
-                    # step via update_com, LBM_binary.H:92-106; the
-                    # integer shift changes only when the COM crosses a
-                    # cell boundary, so per-chunk is the same roll for
-                    # any chunk in which round(com) is constant)
-                    from .ops.noise import _roll3
-
-                    kernel_fn = run_chunk
-                    com_ref_j = jnp.asarray(com_ref)
-
-                    @jax.jit
-                    def _ref2(f):
-                        com = stats_obs.center_of_mass(jnp.sum(f, axis=0))
-                        shift = jnp.round(com - com_ref_j
-                                          ).astype(jnp.int32)
-                        return jnp.stack([_roll3(rho_eq, shift),
-                                          _roll3(phi_eq, shift)])
-
-                    def run_chunk(s):  # noqa: F811
-                        return kernel_fn(s, _ref2(s.f))
+                    def run_chunk(s, _kfn=kernel_fn):  # noqa: F811
+                        return _kfn(s, ref2_fn(s.f))
+                else:
+                    run_chunk = kernel_fn
         if run_chunk is None and engine == "halo" and mesh is not None:
             from .parallel import halo as halo_par
 

@@ -154,3 +154,84 @@ def test_default_mesh_routes_to_kernel_path():
     assert mesh.shape["z"] == 1
     assert kernel_par.supports(mesh, (256, 256, 256))
     assert kernel_par.supports(mesh, (64, 64, 128))
+
+
+def test_kernel_shard_use_ref_matches_single_device():
+    """USE_REF_STATE on the shard_map path (LBM_binary.H:92-106): the
+    sharded kernel consuming the ppermute-extended ref stack must
+    reproduce the single-device fused kernel's use_ref trajectory (hash
+    noise is keyed by global coordinates, so the streams agree)."""
+    from bflbm_tpu.kernels import fused_step
+    from jax._src import pallas  # noqa: F401  (import check only)
+    from jax.experimental.pallas import tpu as pltpu
+
+    params = LBMParams(alpha0=0.0, kBT=1e-5)
+    shape = (16, 64, 128)
+    n = 4
+    rng = np.random.default_rng(3)
+    rho_ref = jnp.asarray(1.0 + 0.2 * rng.random(shape), jnp.float32)
+    ref2 = jnp.stack([rho_ref, 0.5 * rho_ref])
+
+    state = model.init_mixture(shape, params, dtype=jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        ref = fused_step.make_nsteps(
+            params, n, force=True, tile=(shape[0], shape[1]), block=2,
+            noise_impl="hash", transform="mxu",
+            use_ref=True)(state, ref2)
+
+    mesh = mesh_lib.make_mesh((2, 4, 1))
+    run = kernel_par.make_kernel_nsteps(
+        mesh, params, n, block=2, tile=(8, 16), noise_impl="hash",
+        transform="mxu", interpret=True, donate=False, use_ref=True)
+    state = model.init_mixture(shape, params, dtype=jnp.float32)
+    got = run(mesh_lib.shard_state(state, mesh),
+              jax.device_put(
+                  ref2, jax.sharding.NamedSharding(
+                      mesh, jax.sharding.PartitionSpec(
+                          None, *mesh_lib.SPATIAL_AXES))))
+    np.testing.assert_allclose(np.asarray(got.f), np.asarray(ref.f),
+                               rtol=1e-3, atol=5e-6)
+    np.testing.assert_allclose(np.asarray(got.g), np.asarray(ref.g),
+                               rtol=1e-3, atol=5e-6)
+    # identical injected noise: global mass matches to accumulation
+    # round-off across the differing tile shapes, far below the
+    # per-step noise scale (~1e-3 relative)
+    np.testing.assert_allclose(float(jnp.sum(got.f)),
+                               float(jnp.sum(ref.f)), rtol=5e-6)
+
+
+def test_kernel_shard_use_ref_zero_region_bitwise():
+    """Cells whose ref densities are zero draw zero noise on the sharded
+    path too: the fluctuating use_ref run must bitwise equal the kBT=0
+    run on the eroded interior of the zero region, across shard
+    boundaries (a misaligned halo extension of the ref stack would shift
+    the zero/noise boundary)."""
+    shape = (16, 64, 128)
+    n = 3
+    params = LBMParams(alpha0=0.0, kBT=1e-5)
+    params0 = LBMParams(alpha0=0.0, kBT=0.0)
+
+    zero = np.zeros(shape, bool)
+    lo, hi = (2, 8, 0), (14, 56, shape[2])
+    zero[lo[0]:hi[0], lo[1]:hi[1], :] = True
+    rho_ref = jnp.asarray(np.where(zero, 0.0, 1.0), jnp.float32)
+    ref2 = jnp.stack([rho_ref, rho_ref])
+
+    mesh = mesh_lib.make_mesh((2, 4, 1))
+    spec = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, *mesh_lib.SPATIAL_AXES))
+    state = model.init_mixture(shape, params, dtype=jnp.float32)
+    run = kernel_par.make_kernel_nsteps(
+        mesh, params, n, block=2, tile=(8, 16), noise_impl="hash",
+        transform="mxu", interpret=True, donate=False, use_ref=True)
+    got = run(mesh_lib.shard_state(state, mesh),
+              jax.device_put(ref2, spec))
+    state0 = model.init_mixture(shape, params0, dtype=jnp.float32)
+    base = _run((2, 4, 1), state0, params0, n, block=2, tile=(8, 16))
+    df = np.asarray(got.f) - np.asarray(base.f)
+    interior = np.zeros(shape, bool)
+    interior[lo[0] + n:hi[0] - n, lo[1] + n:hi[1] - n, :] = True
+    assert np.all(df[:, interior] == 0.0), np.abs(df[:, interior]).max()
+    outside = np.zeros(shape, bool)
+    outside[:, :lo[1] - n, :] = True
+    assert np.abs(df[:, outside]).max() > 1e-5
