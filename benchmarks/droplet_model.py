@@ -93,7 +93,12 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(ROOT, "out", "droplet_model")
 EQ_CKPT = os.path.join(ROOT, "out", "acceptance2", "droplet-r0.25",
                        "checkpoint0020000.npz")
-MEASURED = [os.path.join(ROOT, "out", "acceptance2", d, "shapefluct.npz")
+MEASURED = [os.path.join(ROOT, "out", acc, d, "shapefluct.npz")
+            # acceptance2 = round-2 trajectories (carry the coherent f32
+            # mass drift, +1.7% mass_f over 1.15M steps — ACCEPTANCE
+            # "[r3] Exact-mass collision"); acceptance3 = drift-free
+            # re-measurement with the exact-mass engine
+            for acc in ("acceptance2", "acceptance3")
             for d in ("droplet-shapefluct", "droplet-shapefluct-777000")]
 
 KBT = 1e-5
