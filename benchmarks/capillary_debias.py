@@ -89,7 +89,12 @@ def fit_gamma_floor(k, s, serr):
 
 
 def main():
-    dirs = sorted(sum([glob.glob(p) for p in sys.argv[1:]], []))
+    argv = sys.argv[1:]
+    out_path = "out/acceptance2/capillary_debias.json"
+    if argv and argv[0] == "--out":
+        out_path = argv[1]
+        argv = argv[2:]
+    dirs = sorted(sum([glob.glob(p) for p in argv], []))
     runs = [process_run(d) for d in dirs if
             os.path.exists(os.path.join(d, "hk_series.npy"))]
     if not runs:
@@ -117,6 +122,9 @@ def main():
         per_mode = {int(m): {
             "gamma_raw": float(KBT / (sm.mean(axis=0)[m] * k[m] ** 2)),
             "gamma_debiased": float(KBT / (mean_c[m] * k[m] ** 2)),
+            # cross-run scatter of the debiased per-mode gamma
+            "gamma_stderr": float(KBT / (mean_c[m] * k[m] ** 2)
+                                  * err_c[m] / mean_c[m]),
             "g_autocorr": float(g.mean(axis=0)[m]),
         } for m in range(1, 13)}
         result[name] = {
@@ -132,8 +140,8 @@ def main():
             "per_mode": per_mode,
         }
     print(json.dumps(result))
-    os.makedirs("out/acceptance2", exist_ok=True)
-    with open("out/acceptance2/capillary_debias.json", "w") as fh:
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as fh:
         json.dump(result, fh, indent=1)
 
 
