@@ -14,15 +14,73 @@ import json
 import os
 import sys
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-from bflbm_tpu.config import LBMParams
-from bflbm_tpu.models import binary_fluid as model
-from bflbm_tpu.utils.timing import time_steps
-
 PER_CHIP_TARGET_MLUPS = 5000.0 / 8.0  # north-star 5 GLUPS on 8 chips
+
+
+def watchdog_reexec():
+    """The tunneled TPU backend intermittently hangs at init (CLAUDE.md);
+    a hang here would zero the scored benchmark.  Parent mode: re-exec
+    this script as a child, kill+retry if it goes silent through the
+    init window (normal init can take 2-5 min), forward its stdout."""
+    import subprocess
+    import threading
+    import time
+
+    env = dict(os.environ, BFLBM_BENCH_CHILD="1")
+    init_window, hard_timeout, attempts = 420.0, 1800.0, 3
+    for attempt in range(attempts):
+        proc = subprocess.Popen([sys.executable, os.path.abspath(__file__)]
+                                + sys.argv[1:], env=env,
+                                stdout=subprocess.PIPE,
+                                stderr=sys.stderr, text=True)
+        last = [time.time()]
+        got = [False]
+
+        def pump():
+            for line in proc.stdout:
+                last[0] = time.time()
+                if line.strip() and "is experimental" not in line:
+                    got[0] = True
+                sys.stdout.write(line)
+                sys.stdout.flush()
+
+        th = threading.Thread(target=pump, daemon=True)
+        th.start()
+        t0 = time.time()
+        while proc.poll() is None:
+            time.sleep(2.0)
+            now = time.time()
+            if not got[0] and now - last[0] > init_window:
+                print(f"[bench watchdog] no output after {init_window}s; "
+                      "killing", file=sys.stderr, flush=True)
+                proc.kill()
+                break
+            if now - t0 > hard_timeout:
+                print(f"[bench watchdog] hard timeout {hard_timeout}s",
+                      file=sys.stderr, flush=True)
+                proc.kill()
+                break
+        proc.wait()
+        th.join(timeout=10)
+        if proc.returncode == 0:
+            return 0
+        print(f"[bench watchdog] attempt {attempt + 1} -> "
+              f"{proc.returncode}; retrying in 20 s", file=sys.stderr,
+              flush=True)
+        time.sleep(20.0)
+    return 1
+
+
+if os.environ.get("BFLBM_BENCH_CHILD", "") != "1" and __name__ == "__main__":
+    sys.exit(watchdog_reexec())
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from bflbm_tpu.config import LBMParams  # noqa: E402
+from bflbm_tpu.models import binary_fluid as model  # noqa: E402
+from bflbm_tpu.utils.timing import time_steps  # noqa: E402
 
 
 def main():
