@@ -537,6 +537,29 @@ def stage_mc(args):
 # Stage: report
 # ---------------------------------------------------------------------------
 
+def _tail_extrapolation(diag_hist):
+    """Geometric tail of the adjoint partial sums.
+
+    diag_hist[n] is the covariance diagonal after n recorded chunks
+    (row 0 = after the c200 prefix).  Each chunk's increment is a Gram
+    diagonal, hence >= 0 and asymptotically ~ r^n with r = exp(-2*chunk
+    /tau_slowest); fit r from the last increments and close the series:
+    tail = I_last * r / (1 - r).  Returns per-observable (ratio, tail,
+    tail fraction of the partial sum) — a convergence certificate for
+    the early-stopped adjoint stage."""
+    hist = np.asarray(diag_hist, np.float64)
+    if hist.shape[0] < 5:
+        return None
+    inc = np.diff(hist, axis=0)
+    span = min(4, inc.shape[0] - 1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        r = (inc[-1] / inc[-1 - span]) ** (1.0 / span)
+    r = np.where(np.isfinite(r), r, 0.0)
+    tail = np.where((r > 0) & (r < 1), inc[-1] * r / (1.0 - r), 0.0)
+    tot = np.maximum(hist[-1], 1e-300)
+    return {"ratio": r, "tail": tail, "tail_frac": tail / tot}
+
+
 def stage_report(args):
     d = np.load(os.path.join(OUT, "adjoint.npz"))
     C = d["C"]
@@ -576,6 +599,17 @@ def stage_report(args):
             "mean_abs_da": [float(v) for v in np.abs(da).mean(axis=0)],
             "mean_abs_da_sum": float(np.abs(da.sum(axis=1)).mean()),
         })
+    ext = _tail_extrapolation(d["diag_hist"]) if "diag_hist" in d else None
+    if ext is not None:
+        rows["convergence"] = {
+            "steps": int(d["steps"]),
+            "per_obs": {n: {"ratio": float(ext["ratio"][i]),
+                            "tail_frac": float(ext["tail_frac"][i])}
+                        for i, n in enumerate(OBS_NAMES)},
+            "zeta20_var_extrapolated":
+                float(C[IDX_Z20, IDX_Z20] + ext["tail"][IDX_Z20]),
+            "max_tail_frac": float(ext["tail_frac"].max()),
+        }
     if rows["measured"]:
         mz = np.mean([m["zeta20_fluct_var"] for m in rows["measured"]])
         rows["zeta20_pred_over_measured"] = \
