@@ -636,7 +636,14 @@ def main():
     ap.add_argument("--max-chunks", type=int, default=200)
     ap.add_argument("--tol", type=float, default=1e-6)
     ap.add_argument("--mc-samples", type=int, default=400_000)
+    ap.add_argument("--out", default=None,
+                    help="override the artifact directory (e.g. a CPU "
+                         "fallback adjoint that must not clash with the "
+                         "TPU run); seed it with profile.npz first")
     args = ap.parse_args()
+    if args.out:
+        global OUT
+        OUT = args.out
     os.makedirs(OUT, exist_ok=True)
     if args.cpu or args.stage in ("validate",):
         jax.config.update("jax_platforms", "cpu")
