@@ -88,6 +88,140 @@ assert all(
         and all(M_INV[i, k] == -M_INV[j, k] for i, j in _PAIRS))
     for k in range(Q))
 
+# --------------------------------------------------------------------------
+# "eof" — the factored parity-paired transform.  Beyond the even/odd pair
+# split, the Duenweg/Schiller rows share whole pair-GROUP sums: the three
+# diagonal-plane sums s_d = sp_xy, sp_yz, sp_xz and the axis sum enter
+# m0/m4/m5/m6/m16/m17/m18 as a unit, the odd groups (dp_a +- dp_b) serve
+# both the momentum rows m1-m3 and the ghost rows m10-m15, and on the
+# inverse side the six diagonal pairs differ only in the sign of ONE
+# kinetic-moment term around three shared 7-term cores (H1/H2/H3 below).
+# Hand-scheduling those shared partials cuts the VPU work to ~68 ops per
+# species forward (vs ~116 for "eo") and ~114 back (vs ~223).  The
+# schedule hardcodes the D3Q19 basis STRUCTURE; _verify_eof() checks the
+# net matrices against M / M_INV at import (1e-13) and the module falls
+# back to "eo" wholesale if the basis ever stops matching.
+# Reference: the unrolled transforms LBM_d3q19.H:90-150 (same moments,
+# no factoring — the reference computes each row independently).
+
+def _eof_mom(pops):
+    """Factored forward transform: 19 populations -> 19 moments."""
+    sp = [pops[i] + pops[j] for i, j in _PAIRS]
+    dp = [pops[i] - pops[j] for i, j in _PAIRS]
+    f0 = pops[0]
+    # shared even partials
+    v12 = sp[1] + sp[2]
+    s_ax = sp[0] + v12
+    s_d1 = sp[3] + sp[4]
+    s_d2 = sp[5] + sp[6]
+    s_d3 = sp[7] + sp[8]
+    s_di = (s_d1 + s_d2) + s_d3
+    u = s_d1 + s_d3
+    u2 = s_d1 - s_d3
+    t1 = sp[0] + sp[0]
+    q2 = s_d2 + s_d2
+    w12 = sp[1] - sp[2]
+    # shared odd partials
+    a1 = dp[3] + dp[4]
+    a2 = dp[3] - dp[4]
+    b1 = dp[5] + dp[6]
+    b2 = dp[5] - dp[6]
+    c1 = dp[7] + dp[8]
+    c2 = dp[7] - dp[8]
+    ac = a1 + c1
+    ab = a2 + b1
+    bc = b2 + c2
+    m = [None] * Q
+    m[0] = f0 + (s_ax + s_di)
+    m[1] = dp[0] + ac
+    m[2] = dp[1] + ab
+    m[3] = dp[2] + bc
+    m[4] = s_di - f0
+    m[5] = (t1 + u) - (v12 + q2)
+    m[6] = w12 + u2
+    m[7] = sp[3] - sp[4]
+    m[8] = sp[5] - sp[6]
+    m[9] = sp[7] - sp[8]
+    m[10] = ac - (dp[0] + dp[0])
+    m[11] = ab - (dp[1] + dp[1])
+    m[12] = bc - (dp[2] + dp[2])
+    m[13] = a1 - c1
+    m[14] = b1 - a2
+    m[15] = c2 - b2
+    m[16] = f0 + (s_di - (s_ax + s_ax))
+    m[17] = (u + v12) - (t1 + q2)
+    m[18] = u2 - w12
+    return m
+
+
+def _eof_pops(mom):
+    """Factored back transform: 19 moments -> 19 populations, rest
+    population by exact-mass telescoping (same property as "eo")."""
+    # even parts (pair sums / 2)
+    a = (mom[0] - mom[16]) * (1.0 / 18.0)
+    b5 = mom[5] - mom[17]
+    c6 = mom[6] - mom[18]
+    s5 = mom[5] + mom[17]
+    s6 = mom[6] + mom[18]
+    tb = b5 * (1.0 / 24.0)
+    tc = c6 * 0.125
+    e34 = a - tb
+    d = mom[0] * (1.0 / 36.0) + mom[4] * (1.0 / 24.0) \
+        + mom[16] * (1.0 / 72.0)
+    p5 = s5 * (1.0 / 48.0)
+    p6 = s6 * 0.0625
+    h1 = d + (p5 + p6)
+    h2 = d - s5 * (1.0 / 24.0)
+    h3 = d + (p5 - p6)
+    x7 = mom[7] * 0.25
+    x8 = mom[8] * 0.25
+    x9 = mom[9] * 0.25
+    ev = [a + b5 * (1.0 / 12.0), e34 + tc, e34 - tc,
+          h1 + x7, h1 - x7, h2 + x8, h2 - x8, h3 + x9, h3 - x9]
+    # odd parts (pair differences / 2)
+    p1 = mom[1] * (1.0 / 12.0)
+    p2 = mom[2] * (1.0 / 12.0)
+    p3 = mom[3] * (1.0 / 12.0)
+    q10 = mom[10] * (1.0 / 24.0)
+    q11 = mom[11] * (1.0 / 24.0)
+    q12 = mom[12] * (1.0 / 24.0)
+    r13 = mom[13] * 0.125
+    r14 = mom[14] * 0.125
+    r15 = mom[15] * 0.125
+    od = [(mom[1] - mom[10]) * (1.0 / 6.0),
+          (mom[2] - mom[11]) * (1.0 / 6.0),
+          (mom[3] - mom[12]) * (1.0 / 6.0),
+          (p1 + p2) + (q10 + q11) + (r13 - r14),
+          (p1 - p2) + (q10 - q11) + (r13 + r14),
+          (p2 + p3) + (q11 + q12) + (r14 - r15),
+          (p2 - p3) + (q11 - q12) + (r14 + r15),
+          (p1 + p3) + (q10 + q12) + (r15 - r13),
+          (p1 - p3) + (q10 - q12) - (r13 + r15)]
+    out = [None] * Q
+    for p, (i, j) in enumerate(_PAIRS):
+        out[i] = ev[p] + od[p]
+        out[j] = ev[p] - od[p]
+    s = None
+    for i, j in _PAIRS:
+        ps = out[i] + out[j]
+        s = ps if s is None else s + ps
+    out[0] = mom[0] - s
+    return out
+
+
+def _verify_eof():
+    """Identity-matrix check of the factored schedules vs M / M_INV."""
+    eye = [np.eye(Q)[k] for k in range(Q)]
+    mf = np.stack(_eof_mom(eye))          # row k = moment k of basis pops
+    if not np.allclose(mf, M, rtol=0.0, atol=1e-13):
+        return False
+    pf = np.stack(_eof_pops(eye))
+    return bool(np.allclose(pf, M_INV, rtol=0.0, atol=1e-13))
+
+
+_EOF_OK = _verify_eof()
+_DEFAULT_TRANSFORM = "eof" if _EOF_OK else "eo"
+
 # number of normal draws per cell: 3 momentum + 15 ghost(f) + 15 ghost(g)
 _N_NORMALS = 33
 _NPAIR = (_N_NORMALS + 1) // 2   # Box-Muller pairs (17 -> 34 normals)
@@ -319,9 +453,13 @@ _CLT4_OFF = float(-510.0 / np.sqrt(_CLT4_VAR))
 
 
 def _clt4_normal(w, dtype):
-    """uint32 word -> standardized byte-sum normal (see above)."""
-    s = (w & jnp.uint32(0xFF)) + ((w >> 8) & jnp.uint32(0xFF)) \
-        + ((w >> 16) & jnp.uint32(0xFF)) + (w >> 24)
+    """uint32 word -> standardized byte-sum normal (see above).
+
+    SWAR pairwise sum: bytes 0+1 and 2+3 land in the two 16-bit halves
+    of one add (no overflow: 510 < 2^16), then the halves fold — 7 int
+    ops vs 9 for the naive four-byte extraction, bitwise-identical."""
+    t = (w & jnp.uint32(0x00FF00FF)) + ((w >> 8) & jnp.uint32(0x00FF00FF))
+    s = (t & jnp.uint32(0xFFFF)) + (t >> 16)
     i = jax.lax.bitcast_convert_type(s, jnp.int32)
     return i.astype(dtype) * _CLT4_SCALE + _CLT4_OFF
 
@@ -442,9 +580,11 @@ def _k_compute(params: LBMParams, read_f, read_g, nx, ny, normals,
         rho = None  # computed from moments below
         phi = None
 
-    # moments: unrolled adds (VPU), parity-paired adds ("eo"), or
-    # 19x19 matmul (MXU)
-    if transform == "mxu":
+    # moments: unrolled adds (VPU), parity-paired adds ("eo"), factored
+    # parity-paired adds ("eof", default), or 19x19 matmul (MXU)
+    if transform == "eof":
+        mom = _eof_mom
+    elif transform == "mxu":
         def mom(pops):
             x = jnp.stack(pops)
             m4 = jax.lax.dot_general(
@@ -634,7 +774,9 @@ def _k_compute(params: LBMParams, read_f, read_g, nx, ny, normals,
     # up to a single (sign-varying) rounding instead of the coherent
     # 19-term accumulation — and is cheaper than correcting after the
     # fact (skips the M_INV row-0 contraction).
-    if transform == "mxu":
+    if transform == "eof":
+        pops_from = _eof_pops
+    elif transform == "mxu":
         def pops_from(mom_list):
             m4 = jnp.stack(mom_list)
             r = jax.lax.dot_general(
@@ -1113,7 +1255,7 @@ def _step_kernel(params: LBMParams, shape, gdomain, bx, by, block,
 
 
 def _fused_step_call(params: LBMParams, shape, tile, noise_on,
-                     seed, fc, gc, mode="auto", transform="eo",
+                     seed, fc, gc, mode="auto", transform=_DEFAULT_TRANSFORM,
                      block=1, noise_impl="hw", noise_dist="clt4",
                      gdomain=None, ext_mode=False, interpret=False,
                      ref=None):
@@ -1168,7 +1310,7 @@ def _fused_step_call(params: LBMParams, shape, tile, noise_on,
 
 def fused_stream_collide(state: SimState, params: LBMParams,
                          tile=None, mode="auto",
-                         transform="eo", block=1,
+                         transform=_DEFAULT_TRANSFORM, block=1,
                          noise_impl="hw",
                          noise_dist="clt4", ref=None) -> SimState:
     """`block` K = collide o stream updates in post-collide state space.
@@ -1198,7 +1340,7 @@ def fused_stream_collide(state: SimState, params: LBMParams,
 
 
 def make_nsteps(params: LBMParams, n: int, tile=None, force: bool = False,
-                mode: str = "auto", transform: str = "eo",
+                mode: str = "auto", transform: str = _DEFAULT_TRANSFORM,
                 perm=None, block=None, noise_impl: str = "hw",
                 noise_dist: str = "clt4", use_ref: bool = False):
     """n standard steps via the fused kernel.

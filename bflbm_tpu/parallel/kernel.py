@@ -50,8 +50,8 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import LBMParams
-from ..kernels.fused_step import (_PY, _choose_tile, _fused_step_call,
-                                  supports_shape)
+from ..kernels.fused_step import (_DEFAULT_TRANSFORM, _PY, _choose_tile,
+                                  _fused_step_call, supports_shape)
 from ..models import binary_fluid as model
 from ..ops import collide as collide_ops, stream as stream_ops
 from ..state import SimState
@@ -82,7 +82,7 @@ def supports(mesh: Mesh, shape, block: int = 2) -> bool:
 
 def make_kernel_nsteps(mesh: Mesh, params: LBMParams, n: int,
                        block: int = 2, tile=None, mode: str = "auto",
-                       transform: str = "eo",
+                       transform: str = _DEFAULT_TRANSFORM,
                        noise_impl: str = "hw", noise_dist: str = "clt4",
                        interpret: bool = False,
                        donate: bool = True, overlap="auto",
