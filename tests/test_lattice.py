@@ -75,3 +75,27 @@ def test_rest_equilibrium_is_weights():
     m = np.asarray(moments(f)).ravel()
     np.testing.assert_allclose(m[0], rho, atol=1e-12)
     np.testing.assert_allclose(m[1:], 0.0, atol=1e-12)
+
+
+def test_eof_factored_schedules_match_matrices():
+    """The hand-factored "eof" transform schedules (fused kernel default)
+    must reproduce M / M_INV exactly on the identity basis and agree
+    with a dense f64 matrix apply on random data; the telescoped rest
+    population must conserve mass to f64 roundoff.  Guards the
+    import-time _verify_eof gate with visible coverage."""
+    from bflbm_tpu.kernels.fused_step import (_EOF_OK, _eof_mom,
+                                              _eof_pops)
+
+    assert _EOF_OK
+    rng = np.random.default_rng(3)
+    pops = [rng.standard_normal(64) for _ in range(lattice.Q)]
+    m_fact = np.stack(_eof_mom(pops))
+    m_dense = np.einsum("ki,ix->kx", lattice.M, np.stack(pops))
+    np.testing.assert_allclose(m_fact, m_dense, rtol=0, atol=1e-12)
+
+    moms = [rng.standard_normal(64) for _ in range(lattice.Q)]
+    p_fact = np.stack(_eof_pops(moms))
+    p_dense = np.einsum("ik,kx->ix", lattice.M_INV, np.stack(moms))
+    np.testing.assert_allclose(p_fact, p_dense, rtol=0, atol=1e-12)
+    # telescoping: stored mass == the mass moment to f64 roundoff
+    np.testing.assert_allclose(p_fact.sum(axis=0), moms[0], atol=1e-12)
