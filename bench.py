@@ -118,20 +118,42 @@ def main():
         except Exception:
             impl = "jnp"
 
-    if impl == "pallas":
-        from bflbm_tpu.kernels.fused_step import make_nsteps
-
-        run_n = make_nsteps(params, args.steps)
-    else:
-        run_n = jax.jit(
-            lambda s: model.nsteps(s, params, args.steps), donate_argnums=0)
-
     cells = int(np.prod(shape))
 
     from bflbm_tpu.utils.timing import fetch_scalar
 
-    state_b = run_n(state)  # compile + warmup
-    fetch_scalar(state_b)
+    # Fallback ladder: a deterministic compile/run failure of the newest
+    # kernel variant must not zero the scored benchmark.  Try the default
+    # (factored "eof") transform, then the round-2-validated "eo", then
+    # the jnp path.  Hangs are handled by the watchdog parent, crashes
+    # here.
+    attempts = []
+    if impl == "pallas":
+        attempts += [("pallas", None), ("pallas", "eo")]
+    attempts += [("jnp", None)]
+
+    run_n = state_b = None
+    for impl_try, transform in attempts:
+        try:
+            if impl_try == "pallas":
+                from bflbm_tpu.kernels.fused_step import make_nsteps
+
+                kw = {} if transform is None else {"transform": transform}
+                run_n = make_nsteps(params, args.steps, **kw)
+            else:
+                run_n = jax.jit(
+                    lambda s: model.nsteps(s, params, args.steps),
+                    donate_argnums=0)
+            state_b = run_n(state)  # compile + warmup
+            fetch_scalar(state_b)
+            impl = impl_try if transform is None else f"{impl_try}:{transform}"
+            break
+        except Exception as e:  # noqa: BLE001 — deliberate ladder
+            print(f"[bench] {impl_try}/{transform or 'default'} failed: "
+                  f"{type(e).__name__}: {e}", file=sys.stderr, flush=True)
+            run_n = state_b = None
+    if run_n is None:
+        raise SystemExit("all benchmark paths failed")
 
     # chain repeats on the evolving state: measures the production
     # steady-state step rate (no re-init inside the timed region)
