@@ -391,6 +391,18 @@ def stage_adjoint(args):
     diag_hist = [np.diag(C).copy()]
     steps = steps_c200
     converged = False
+
+    def save():
+        # checkpoint every few chunks: a killed / wall-clock-bounded run
+        # keeps its partial sums, and stage_report's geometric-tail
+        # certificate quantifies what the truncation left out
+        np.savez(os.path.join(OUT, "adjoint.npz"), C=C, C200=C200,
+                 c200_steps=args.c200, o_star=o_star, steps=steps,
+                 diag_hist=np.asarray(diag_hist),
+                 translation_jvp=do_trans, l1_norms=l1,
+                 dtype=str(np.dtype(np.float64 if args.x64
+                                    else np.float32)))
+
     for it in range(args.max_chunks):
         V, Cc, Cs = chunk_n(V)
         Cc = np.asarray(Cc, np.float64)
@@ -400,21 +412,29 @@ def stage_adjoint(args):
         inc = Cc[IDX_Z20, IDX_Z20] / max(C[IDX_Z20, IDX_Z20], 1e-300)
         gy = np.diag(Cc)[IDX_GYR].max() / max(np.diag(C)[IDX_GYR].max(),
                                               1e-300)
-        if it % 10 == 0 or max(inc, gy) < args.tol:
+        # certified early stop: the per-chunk Gram increments decay
+        # geometrically (see _tail_extrapolation); once the closed tail
+        # is a negligible fraction of every partial sum the remaining
+        # chunks cannot change the answer
+        ext = _tail_extrapolation(diag_hist)
+        cert = (ext is not None
+                and float(ext["tail_frac"].max()) < args.tail_tol
+                and float(ext["ratio"].max()) < 1.0)
+        if it % 10 == 0 or max(inc, gy) < args.tol or cert:
             print(json.dumps({"chunk": it, "steps": steps,
                               "zeta20_var": C[IDX_Z20, IDX_Z20],
                               "rel_inc": inc,
+                              "max_tail_frac": (float(ext["tail_frac"]
+                                                      .max())
+                                                if ext else None),
                               "wall_s": round(time.time() - t0, 1)}),
                   flush=True)
-        if max(inc, gy) < args.tol:
+            save()
+        if max(inc, gy) < args.tol or cert:
             converged = True
             break
     wall = time.time() - t0
-    np.savez(os.path.join(OUT, "adjoint.npz"), C=C, C200=C200,
-             c200_steps=args.c200, o_star=o_star, steps=steps,
-             diag_hist=np.asarray(diag_hist),
-             translation_jvp=do_trans, l1_norms=l1,
-             dtype=str(np.dtype(np.float64 if args.x64 else np.float32)))
+    save()
     print(json.dumps({
         "stage": "adjoint", "steps": steps, "converged": converged,
         "zeta20_var": C[IDX_Z20, IDX_Z20],
@@ -635,6 +655,10 @@ def main():
                     help="length of the saved partial Gram (validate)")
     ap.add_argument("--max-chunks", type=int, default=200)
     ap.add_argument("--tol", type=float, default=1e-6)
+    ap.add_argument("--tail-tol", type=float, default=2e-3,
+                    help="certified early stop: halt the adjoint once "
+                         "the geometric-tail closure of every partial "
+                         "sum is below this fraction")
     ap.add_argument("--mc-samples", type=int, default=400_000)
     ap.add_argument("--out", default=None,
                     help="override the artifact directory (e.g. a CPU "
