@@ -27,8 +27,14 @@ def watchdog_reexec():
     import time
 
     env = dict(os.environ, BFLBM_BENCH_CHILD="1")
-    init_window, hard_timeout, attempts = 420.0, 1800.0, 3
-    for attempt in range(attempts):
+    init_window, hard_timeout = 420.0, 1800.0
+    # deadline- (not attempt-)bounded: tunnel outages can last hours and
+    # a benchmark that gives up after 3 init hangs scores zero
+    budget = float(os.environ.get("BFLBM_BENCH_BUDGET_S", "5400"))
+    deadline = time.time() + budget
+    attempt = 0
+    while time.time() < deadline:
+        attempt += 1
         proc = subprocess.Popen([sys.executable, os.path.abspath(__file__)]
                                 + sys.argv[1:], env=env,
                                 stdout=subprocess.PIPE,
@@ -64,9 +70,10 @@ def watchdog_reexec():
         th.join(timeout=10)
         if proc.returncode == 0:
             return 0
-        print(f"[bench watchdog] attempt {attempt + 1} -> "
-              f"{proc.returncode}; retrying in 20 s", file=sys.stderr,
-              flush=True)
+        print(f"[bench watchdog] attempt {attempt} -> "
+              f"{proc.returncode}; retrying in 20 s "
+              f"({deadline - time.time():.0f}s of budget left)",
+              file=sys.stderr, flush=True)
         time.sleep(20.0)
     return 1
 
