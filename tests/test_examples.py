@@ -1,0 +1,31 @@
+"""The worked examples (examples/) parse and expose the common CLI.
+
+Full runs take minutes each; they are exercised by hand / in
+verification (each was validated end-to-end on CPU).  Here we pin that
+every script imports its harness and builds its argparser (--help exits
+0 before any jax work), so API drift in example code is caught by CI.
+"""
+
+import glob
+import os
+import subprocess
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+EXAMPLES = sorted(glob.glob(os.path.join(ROOT, "examples", "0*.py")))
+
+
+def test_examples_present():
+    assert len(EXAMPLES) >= 8
+
+
+@pytest.mark.parametrize("path", EXAMPLES,
+                         ids=[os.path.basename(p) for p in EXAMPLES])
+def test_example_help(path):
+    r = subprocess.run([sys.executable, path, "--help"],
+                       capture_output=True, text=True, timeout=120,
+                       env=dict(os.environ, PALLAS_AXON_POOL_IPS=""))
+    assert r.returncode == 0, r.stderr
+    assert "--cpu" in r.stdout and "--scale" in r.stdout
