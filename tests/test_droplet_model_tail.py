@@ -1,0 +1,62 @@
+"""The adjoint convergence certificate closes geometric tails exactly.
+
+benchmarks/droplet_model.py stops its vjp-propagation loop once the
+geometric-tail closure of every partial Gram sum is negligible
+(_tail_extrapolation); here the fit is pinned on synthetic series with
+a known ratio and the certified stop's soundness condition is checked
+(tail fraction honest for decaying series, no certificate for growing
+or non-geometric increments).
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "benchmarks"))
+
+from droplet_model import _tail_extrapolation  # noqa: E402
+
+
+def geometric_hist(r, n=12, a=1.0):
+    """Partial sums of a*r^k (k=0..), shaped like diag_hist rows."""
+    inc = a * r ** np.arange(n)
+    return np.cumsum(inc)[:, None]
+
+
+def test_recovers_ratio_and_tail():
+    r = 0.62
+    hist = geometric_hist(r)
+    ext = _tail_extrapolation(hist)
+    np.testing.assert_allclose(ext["ratio"][0], r, rtol=1e-12)
+    # closed tail equals the true remainder of the series
+    true_total = 1.0 / (1.0 - r)
+    np.testing.assert_allclose(hist[-1, 0] + ext["tail"][0], true_total,
+                               rtol=1e-12)
+
+
+def test_tail_frac_drives_certified_stop():
+    hist = geometric_hist(0.3, n=20)
+    ext = _tail_extrapolation(hist)
+    assert ext["tail_frac"][0] < 1e-9  # long-converged series certifies
+
+
+def test_growing_series_never_certifies():
+    hist = geometric_hist(1.3, n=10)  # increments still growing
+    ext = _tail_extrapolation(hist)
+    assert ext["ratio"][0] > 1.0
+    assert ext["tail"][0] == 0.0  # closure refused (r >= 1)
+
+
+def test_short_history_returns_none():
+    assert _tail_extrapolation(geometric_hist(0.5, n=3)) is None
+
+
+def test_per_observable_columns_independent():
+    h1 = geometric_hist(0.5)
+    h2 = geometric_hist(0.9)
+    hist = np.concatenate([h1, h2], axis=1)
+    ext = _tail_extrapolation(hist)
+    np.testing.assert_allclose(ext["ratio"], [0.5, 0.9], rtol=1e-12)
+    assert ext["tail_frac"][1] > ext["tail_frac"][0]
