@@ -280,6 +280,35 @@ def test_blocked_matches_jnp_deterministic(alpha0):
                                rtol=0, atol=2e-5)
 
 
+def test_block3_matches_jnp_deterministic():
+    """The sweep generalizes beyond block=2: three K-steps per kernel
+    sweep (6-deep x halos, triple overlap recompute) still reproduce
+    the jnp trajectory — the ROADMAP block=3 experiment is a flag, not
+    a kernel change.  Deterministic uncoupled only (the cheap interpret
+    graph); hardware timing decides whether it ever becomes a default."""
+    params = LBMParams(alpha0=0.0, kBT=0.0)
+    shape = (16, 16, 16)
+    state = model.init_mixture(shape, params, dtype=jnp.float32)
+    f = np.array(np.asarray(state.f), copy=True)
+    f *= (1 + 1e-3 * np.sin(np.arange(f.size)).reshape(f.shape)
+          ).astype(np.float32)
+    state = state._replace(f=jnp.asarray(f))
+    n = 7  # 1 jnp prelude + 6 kernel K-steps = 2 blocked sweeps of 3
+    ref = state
+    for _ in range(n):
+        ref, _ = model.step(ref, params)
+    with pltpu.force_tpu_interpret_mode():
+        run = fused_step.make_nsteps(params, n, force=True,
+                                     tile=(shape[0], shape[1]), block=3,
+                                     transform="mxu")
+        got = run(state)
+    assert int(got.step) == n
+    np.testing.assert_allclose(np.asarray(got.f), np.asarray(ref.f),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got.g), np.asarray(ref.g),
+                               rtol=0, atol=2e-5)
+
+
 def test_blocked_equals_composed_with_noise():
     """With the coordinate-keyed hash noise, one 2-step blocked sweep is
     the composition of two 1-step sweeps (same word/step keys) — the
