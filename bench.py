@@ -142,6 +142,9 @@ def main():
     run_n = state_b = None
     for impl_try, transform in attempts:
         try:
+            # fresh state per attempt: a failed donated execution may
+            # have invalidated the previous buffer
+            state = model.init_mixture(shape, params, dtype=jnp.float32)
             if impl_try == "pallas":
                 from bflbm_tpu.kernels.fused_step import make_nsteps
 
