@@ -160,6 +160,21 @@ def _fab_bytes(block: np.ndarray, lo, hi) -> bytes:
     return head + payload.astype("<f8").tobytes()
 
 
+def _split_boxes(shape, max_grid: Optional[int]):
+    """BoxArray.maxSize-style domain split (main_run_job.cpp:140-143);
+    [(lo, hi)] inclusive index boxes, single box when max_grid is None."""
+    cuts = [range(0, n, max_grid or n) for n in shape]
+    boxes = []
+    for x0 in cuts[0]:
+        for y0 in cuts[1]:
+            for z0 in cuts[2]:
+                lo = (x0, y0, z0)
+                hi = tuple(min(s0 + (max_grid or n), n) - 1
+                           for s0, n in zip(lo, shape))
+                boxes.append((lo, hi))
+    return boxes
+
+
 def write_multifab(prefix: str, data: np.ndarray,
                    max_grid: Optional[int] = None) -> None:
     """Write (ncomp, X, Y, Z) as a VisMF MultiFab (``<prefix>_H`` etc).
@@ -170,15 +185,7 @@ def write_multifab(prefix: str, data: np.ndarray,
     data = np.asarray(data, np.float64)
     ncomp = data.shape[0]
     shape = data.shape[1:]
-    cuts = [range(0, n, max_grid or n) for n in shape]
-    boxes = []
-    for x0 in cuts[0]:
-        for y0 in cuts[1]:
-            for z0 in cuts[2]:
-                lo = (x0, y0, z0)
-                hi = tuple(min(s0 + (max_grid or n), n) - 1
-                           for s0, n in zip(lo, shape))
-                boxes.append((lo, hi))
+    boxes = _split_boxes(shape, max_grid)
     os.makedirs(os.path.dirname(prefix) or ".", exist_ok=True)
     fabs = []
     offset = 0
@@ -240,9 +247,14 @@ def write_plotfile(plotdir: str, data: np.ndarray, names: Sequence[str],
         fh.write("%d\n" % step)
         fh.write(" ".join("1" for _ in shape) + "\n")    # cell size
         fh.write("0\n0\n")                               # coordsys, bwidth
-        fh.write("0 1 %.17g\n%d\n" % (time, step))
-        for d, n in enumerate(shape):
-            fh.write("0 %.17g\n" % float(n))
+        # level grid list must match the Level_0/Cell BoxArray (AMReX
+        # tooling reads it): one physical-extent triple per FAB box
+        boxes = _split_boxes(shape, max_grid)
+        fh.write("0 %d %.17g\n%d\n" % (len(boxes), time, step))
+        for lo, hi_b in boxes:
+            for d in range(len(shape)):
+                fh.write("%.17g %.17g\n" % (float(lo[d]),
+                                            float(hi_b[d] + 1)))
         fh.write("Level_0/Cell\n")
 
 

@@ -1374,6 +1374,14 @@ def make_nsteps(params: LBMParams, n: int, tile=None, force: bool = False,
 
     if n < 1:
         raise ValueError("n >= 1")
+    if transform == "eof" and not _EOF_OK:
+        # the factored schedule hardcodes the basis STRUCTURE; if the
+        # import-time identity check against M/M_INV failed, an explicit
+        # request must error rather than silently compute wrong moments
+        # (the DEFAULT falls back to "eo" on its own)
+        raise ValueError(
+            "transform='eof' unavailable: the factored schedule no "
+            "longer matches this lattice basis (use 'eo')")
 
     def run_jnp(state: SimState, ref2=None) -> SimState:
         if ref2 is None:
@@ -1403,8 +1411,18 @@ def make_nsteps(params: LBMParams, n: int, tile=None, force: bool = False,
         if params.alpha0 != 0.0:
             return 1
         if params.noise_on:
+            # consult the tile the chooser would ACTUALLY return at
+            # block=2 (the VMEM budget can shrink bx below what the
+            # shape's divisibility suggests, e.g. (256,256,512) -> bx=8,
+            # whose 8-2*2 interior falls below the 8-wide HW-PRNG
+            # minimum and would silently degrade every non-final phase
+            # to the measured-slower all-hash blocked path)
+            if tile is not None:
+                bx, by = tile
+            else:
+                bx, by = _choose_tile(shape, 2, True)
             hybrid_ok = (noise_impl == "hw" and noise_dist == "clt4"
-                         and shape[0] % 16 == 0 and shape[1] % 16 == 0)
+                         and bx >= 12 and by >= 12)
             return 2 if hybrid_ok else 1
         return 2 if shape[0] >= 4 else 1
 

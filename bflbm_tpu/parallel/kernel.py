@@ -219,7 +219,11 @@ def make_kernel_nsteps(mesh: Mesh, params: LBMParams, n: int,
                 g_in = halo_par.exchange_halo(g_in, "y", 2, _PY)
                 if r_in is not None:
                     r_in = halo_par.exchange_halo(r_in, "y", 2, _PY)
-            fo_i, go_i = call((Xi, Yi, Zl), tile or pick((Xi, Yi, Zl)),
+            # split sub-calls always use the chooser: the caller's
+            # explicit `tile` is sized for the FULL local block and need
+            # not divide the shrunken interior (Xl - 2*px) or the seam
+            # bands — it applies to the serial sweep only
+            fo_i, go_i = call((Xi, Yi, Zl), pick((Xi, Yi, Zl)),
                               seed_at(xi0, yi0), f_in, g_in, r_in)
 
             def band(x0, wx, y0, wy):

@@ -167,13 +167,16 @@ def run(cfg: RunConfig, *, mesh=None, engine: str = "auto",
             else:
                 import warnings
 
+                degrade = ("raising (engine='pallas' was requested "
+                           "explicitly)" if engine == "pallas" else
+                           "falling back to the MUCH slower jnp chunk "
+                           "engine")
                 warnings.warn(
                     f"mesh {dict(mesh.shape)} cannot run the fused-kernel "
                     f"shard_map path for domain {cfg.shape} (needs z "
                     "unsharded, local Z % 128 == 0, local Y % 8 == 0, "
-                    "local X >= 2*block) — falling back to the MUCH "
-                    "slower jnp chunk engine; prefer x/y-sharded meshes "
-                    "(the make_mesh default)", stacklevel=2)
+                    f"local X >= 2*block) — {degrade}; prefer x/y-sharded "
+                    "meshes (the make_mesh default)", stacklevel=2)
         if run_chunk is None and engine in ("auto", "pallas") \
                 and not multi:
             from .kernels import fused_step

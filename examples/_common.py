@@ -24,8 +24,15 @@ def example_argparser(desc: str, out_default: str) -> argparse.ArgumentParser:
 
 
 def setup_backend(args) -> None:
-    """Select the backend BEFORE the first jax operation."""
+    """Select the backend BEFORE the first jax operation.
+
+    ``jax.config.update`` is the mechanism that actually prevents the
+    axon/TPU plugin from initializing (same as tests/conftest.py); the
+    env var is also set so any subprocess inherits a disabled tunnel
+    plugin (the sitecustomize that reads it has already run for THIS
+    process)."""
     if args.cpu:
+        os.environ["PALLAS_AXON_POOL_IPS"] = ""
         import jax
 
         jax.config.update("jax_platforms", "cpu")
