@@ -338,7 +338,14 @@ def throughput(fast):
     cases = [("fluct", dict(alpha0=0.0, kBT=1e-5), {}),
              ("fluct_b2", dict(alpha0=0.0, kBT=1e-5), dict(block=2)),
              ("coupled", dict(alpha0=1.5, kBT=1e-5), {}),
-             ("determ", dict(alpha0=0.0, kBT=0.0), {})]
+             ("determ", dict(alpha0=0.0, kBT=0.0), {}),
+             # A/B the round-3 factored transform against round-2's
+             # parity-paired default on the compute-bound paths (the
+             # decision data for _DEFAULT_TRANSFORM)
+             ("fluct_b2_eo", dict(alpha0=0.0, kBT=1e-5),
+              dict(block=2, transform="eo")),
+             ("determ_eo", dict(alpha0=0.0, kBT=0.0),
+              dict(transform="eo"))]
     if fast:
         cases = cases[:2]
     for name, pkw, nkw in cases:
