@@ -392,13 +392,19 @@ def stage_adjoint(args):
     steps = steps_c200
     converged = False
 
+    C_inc_last = np.zeros_like(C)
+
     def save():
         # checkpoint every few chunks: a killed / wall-clock-bounded run
         # keeps its partial sums, and stage_report's geometric-tail
-        # certificate quantifies what the truncation left out
+        # certificate quantifies what the truncation left out.
+        # C_inc_last (the last chunk's Gram increment MATRIX) lets
+        # closed_covariance() extrapolate the full-matrix tail, not
+        # just the diagonal.
         np.savez(os.path.join(OUT, "adjoint.npz"), C=C, C200=C200,
                  c200_steps=args.c200, o_star=o_star, steps=steps,
                  diag_hist=np.asarray(diag_hist),
+                 C_inc_last=C_inc_last, inc_chunk=args.chunk,
                  translation_jvp=do_trans, l1_norms=l1,
                  dtype=str(np.dtype(np.float64 if args.x64
                                     else np.float32)))
@@ -406,6 +412,7 @@ def stage_adjoint(args):
     for it in range(args.max_chunks):
         V, Cc, Cs = chunk_n(V)
         Cc = np.asarray(Cc, np.float64)
+        C_inc_last = Cc
         C += Cc
         steps += args.chunk
         diag_hist.append(np.diag(C).copy())
@@ -512,10 +519,51 @@ def _axes_from_eigs(e, r0):
     return np.stack(out, axis=1)
 
 
+def closed_covariance(d):
+    """Tail-closed stationary covariance from an (early-stopped)
+    adjoint checkpoint.
+
+    The per-chunk Gram increments I_j are PSD and decay geometrically
+    (one slow physical mode dominates the tail — _tail_extrapolation
+    fits its per-observable ratio r_i from the diagonal history).  Two
+    closures, in order of fidelity:
+
+      * checkpoint has C_inc_last (the last increment MATRIX): close
+        entrywise with Tail_ij = I_last_ij * r_ij/(1 - r_ij),
+        r_ij = sqrt(r_i r_j) — exact for a rank-1 dominant mode, and
+        symmetric/PSD-consistent by the Cauchy-Schwarz structure of a
+        Gram tail;
+      * diagonal-only checkpoint: scale C -> D C D with
+        D = diag(sqrt(1 + tail_frac_i)) — matches the extrapolated
+        diagonal exactly, keeps PSD, leaves correlations unchanged.
+
+    Returns (C_closed, info-dict) — or (C, None) when the history is
+    too short to certify a ratio."""
+    C = np.asarray(d["C"], np.float64)
+    ext = (_tail_extrapolation(d["diag_hist"])
+           if "diag_hist" in d else None)
+    if ext is None:
+        return C, None
+    r = np.clip(ext["ratio"], 0.0, 0.999)
+    if "C_inc_last" in d and np.any(np.asarray(d["C_inc_last"])):
+        I = np.asarray(d["C_inc_last"], np.float64)
+        rij = np.sqrt(np.outer(r, r))
+        tail = I * rij / (1.0 - rij)
+        mode = "matrix"
+    else:
+        scale = np.sqrt(1.0 + ext["tail_frac"])
+        tail = np.outer(scale, scale) * C - C
+        mode = "diag_scale"
+    Cc = C + tail
+    return Cc, {"mode": mode,
+                "max_tail_frac": float(ext["tail_frac"].max()),
+                "ratio": [float(v) for v in ext["ratio"]]}
+
+
 def stage_mc(args):
     rng = np.random.default_rng(7)
     d = np.load(os.path.join(OUT, "adjoint.npz"))
-    C = d["C"]
+    C, closure = closed_covariance(d)
     o_star = d["o_star"]
     prof = np.load(os.path.join(OUT, "profile.npz"))
     r0 = float(prof["r0_mass"])
@@ -538,6 +586,7 @@ def stage_mc(args):
     minus = sum(np.mean((da[:, i] - da[:, j]) ** 2) for i, j in pairs)
     out = {
         "stage": "mc", "samples": n, "r0": r0,
+        "tail_closure": closure,
         "gyr_mean": [float(v) for v in mu],
         "gyr_cov_diag": [float(v) for v in np.diag(Cg)],
         "eig_mean": [float(v) for v in e.mean(axis=0)],
@@ -582,10 +631,10 @@ def _tail_extrapolation(diag_hist):
 
 def stage_report(args):
     d = np.load(os.path.join(OUT, "adjoint.npz"))
-    C = d["C"]
+    C, closure = closed_covariance(d)
     with open(os.path.join(OUT, "mc.json")) as fh:
         mc = json.load(fh)
-    rows = {"predicted": {
+    rows = {"tail_closure": closure, "predicted": {
         "zeta20_fluct_var": C[IDX_Z20, IDX_Z20],
         "zeta2m_vars": {n: float(C[i, i])
                         for i, n in enumerate(OBS_NAMES[:9])},
@@ -621,13 +670,15 @@ def stage_report(args):
         })
     ext = _tail_extrapolation(d["diag_hist"]) if "diag_hist" in d else None
     if ext is not None:
+        Craw = np.asarray(d["C"], np.float64)
         rows["convergence"] = {
             "steps": int(d["steps"]),
             "per_obs": {n: {"ratio": float(ext["ratio"][i]),
                             "tail_frac": float(ext["tail_frac"][i])}
                         for i, n in enumerate(OBS_NAMES)},
+            "zeta20_var_raw": float(Craw[IDX_Z20, IDX_Z20]),
             "zeta20_var_extrapolated":
-                float(C[IDX_Z20, IDX_Z20] + ext["tail"][IDX_Z20]),
+                float(Craw[IDX_Z20, IDX_Z20] + ext["tail"][IDX_Z20]),
             "max_tail_frac": float(ext["tail_frac"].max()),
         }
     if rows["measured"]:
