@@ -16,7 +16,7 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "benchmarks"))
 
-from droplet_model import _tail_extrapolation  # noqa: E402
+from droplet_model import _tail_extrapolation, closed_covariance  # noqa: E402
 
 
 def geometric_hist(r, n=12, a=1.0):
@@ -60,3 +60,47 @@ def test_per_observable_columns_independent():
     ext = _tail_extrapolation(hist)
     np.testing.assert_allclose(ext["ratio"], [0.5, 0.9], rtol=1e-12)
     assert ext["tail_frac"][1] > ext["tail_frac"][0]
+
+
+def _rank1_series(r, n, v):
+    """Partial sums of the matrix series v v^T * r^k — the dominant-mode
+    model closed_covariance's matrix closure is exact for."""
+    I0 = np.outer(v, v)
+    C = np.zeros_like(I0)
+    hist = []
+    last = None
+    for k in range(n):
+        last = I0 * r ** k
+        C += last
+        hist.append(np.diag(C).copy())
+    return C, last, np.asarray(hist), I0 / (1.0 - r)
+
+
+def test_closed_covariance_matrix_mode_exact_for_rank1():
+    v = np.array([1.0, -0.5, 2.0])
+    C, last, hist, true_total = _rank1_series(0.7, 14, v)
+    d = {"C": C, "diag_hist": hist, "C_inc_last": last}
+    Cc, info = closed_covariance(d)
+    assert info["mode"] == "matrix"
+    np.testing.assert_allclose(Cc, true_total, rtol=1e-9)
+
+
+def test_closed_covariance_diag_scale_fallback():
+    v = np.array([1.0, -0.5, 2.0])
+    C, last, hist, true_total = _rank1_series(0.7, 14, v)
+    d = {"C": C, "diag_hist": hist}      # no increment matrix saved
+    Cc, info = closed_covariance(d)
+    assert info["mode"] == "diag_scale"
+    # diagonal matches the extrapolated diagonal exactly; for the
+    # rank-1 dominant mode that IS the true total
+    np.testing.assert_allclose(np.diag(Cc), np.diag(true_total),
+                               rtol=1e-9)
+    # PSD preserved
+    assert np.linalg.eigvalsh(Cc).min() > -1e-12
+
+
+def test_closed_covariance_no_history_passthrough():
+    C = np.eye(2)
+    Cc, info = closed_covariance({"C": C})
+    assert info is None
+    np.testing.assert_allclose(Cc, C)
