@@ -152,6 +152,34 @@ def conservation():
     check(drift < 2e-6, "mass_conservation_100steps", rel_drift=drift)
 
 
+def mass_drift_ab():
+    """SIGNED coherent mass drift per step, "eof" vs "eofc" (compensated
+    mass row), 200 fluctuating steps at 64x64x256 — the production-like
+    scale where the coherent component dominates the finite-N random
+    mean.  Exact f64 host-side sums (device jnp.sum would add its own
+    f32 rounding at this size).  Decision data for ROADMAP item
+    "forward-transform mass rounding": if eofc does NOT cut the drift,
+    the residual lives in the back-transform telescoping rounding, not
+    the forward pair sums."""
+    params = LBMParams(alpha0=0.0, kBT=1e-5, kappa=0.1,
+                       rho_lo=0.1, rho_hi=3.0)
+    shape = (64, 64, 256)
+    n = 200
+    drifts = {}
+    for tr in ("eof", "eofc"):
+        st = model.init_mixture(shape, params, dtype=jnp.float32, seed=9)
+        m0 = (np.asarray(st.f, np.float64).sum()
+              + np.asarray(st.g, np.float64).sum())
+        out = fused_step.make_nsteps(params, n, transform=tr)(st)
+        fetch_scalar(out)
+        m1 = (np.asarray(out.f, np.float64).sum()
+              + np.asarray(out.g, np.float64).sum())
+        drifts[tr] = (m1 - m0) / m0 / n
+    log("mass_drift_ab",
+        eof_per_step=drifts["eof"], eofc_per_step=drifts["eofc"],
+        ratio=(abs(drifts["eofc"]) / max(abs(drifts["eof"]), 1e-300)))
+
+
 def ext_mode_parity():
     """shard_map ext-mode kernel (1-device mesh: ppermute degenerates to
     the local periodic wrap) vs jnp at kBT=0 — compiles and validates
@@ -345,7 +373,11 @@ def throughput(fast):
              ("fluct_b2_eo", dict(alpha0=0.0, kBT=1e-5),
               dict(block=2, transform="eo")),
              ("determ_eo", dict(alpha0=0.0, kBT=0.0),
-              dict(transform="eo"))]
+              dict(transform="eo")),
+             # compensated-mass-row cost (decision data for whether
+             # "eofc" can be the default on the DMA-bound path)
+             ("fluct_eofc", dict(alpha0=0.0, kBT=1e-5),
+              dict(transform="eofc"))]
     if fast:
         cases = cases[:2]
     for name, pkw, nkw in cases:
@@ -377,6 +409,7 @@ def main():
         "noise_hw": lambda: noise_statistics("hw"),
         "noise_hash": lambda: noise_statistics("hash"),
         "conservation": conservation,
+        "mass_drift": mass_drift_ab,
         "ext": ext_mode_parity,
         "ext_multitile": ext_mode_multitile,
         "noise_dump": noise_dump_covariance,

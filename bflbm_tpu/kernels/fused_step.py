@@ -209,6 +209,43 @@ def _eof_pops(mom):
     return out
 
 
+def _two_sum(a, b):
+    """Knuth TwoSum: s = fl(a+b) and the EXACT rounding error e, so
+    a + b == s + e in real arithmetic (no magnitude ordering needed)."""
+    s = a + b
+    bp = s - a
+    e = (a - (s - bp)) + (b - bp)
+    return s, e
+
+
+def _comp_sum(vals):
+    """Compensated (TwoSum-tree) sum: correctly rounded to ~1 ulp with
+    NO coherent tree bias.  Used by transform="eofc" to pin the mass
+    moment: the plain forward tree's rounding correlates across the
+    near-identical cells of a production run and walks total mass by
+    ~1e-9/step (measured, tpu_verify mass_conservation_100steps); the
+    compensated row re-sums the 2*ceil(log2 19) rounding residues so
+    the stored mass tracks the exact f32-population sum.  Costs ~130
+    extra VPU flops/species — free on the DMA-bound block=1 path.
+    Reference behavior: amrex::Real (double) accumulation never sees
+    the f32 walk (LBM_d3q19.H:90-150)."""
+    vals = list(vals)
+    errs = []
+    while len(vals) > 1:
+        nxt = []
+        for i in range(0, len(vals) - 1, 2):
+            s, e = _two_sum(vals[i], vals[i + 1])
+            nxt.append(s)
+            errs.append(e)
+        if len(vals) % 2:
+            nxt.append(vals[-1])
+        vals = nxt
+    e = errs[0]
+    for t in errs[1:]:
+        e = e + t
+    return vals[0] + e
+
+
 def _verify_eof():
     """Identity-matrix check of the factored schedules vs M / M_INV."""
     eye = [np.eye(Q)[k] for k in range(Q)]
@@ -581,8 +618,9 @@ def _k_compute(params: LBMParams, read_f, read_g, nx, ny, normals,
         phi = None
 
     # moments: unrolled adds (VPU), parity-paired adds ("eo"), factored
-    # parity-paired adds ("eof", default), or 19x19 matmul (MXU)
-    if transform == "eof":
+    # parity-paired adds ("eof", default; "eofc" adds the compensated
+    # mass row), or 19x19 matmul (MXU)
+    if transform in ("eof", "eofc"):
         mom = _eof_mom
     elif transform == "mxu":
         def mom(pops):
@@ -632,6 +670,12 @@ def _k_compute(params: LBMParams, read_f, read_g, nx, ny, normals,
 
     mf = mom(fsl)
     mg = mom(gsl)
+    if transform == "eofc":
+        # pin the mass row to the compensated (coherence-free) sum of
+        # the streamed populations; the back transform's telescoping
+        # then stores exactly this mass (see _comp_sum docstring)
+        mf[0] = _comp_sum(fsl)
+        mg[0] = _comp_sum(gsl)
     if rho is None:
         rho = mf[0]
         phi = mg[0]
@@ -774,7 +818,7 @@ def _k_compute(params: LBMParams, read_f, read_g, nx, ny, normals,
     # up to a single (sign-varying) rounding instead of the coherent
     # 19-term accumulation — and is cheaper than correcting after the
     # fact (skips the M_INV row-0 contraction).
-    if transform == "eof":
+    if transform in ("eof", "eofc"):
         pops_from = _eof_pops
     elif transform == "mxu":
         def pops_from(mom_list):
@@ -1374,14 +1418,14 @@ def make_nsteps(params: LBMParams, n: int, tile=None, force: bool = False,
 
     if n < 1:
         raise ValueError("n >= 1")
-    if transform == "eof" and not _EOF_OK:
+    if transform in ("eof", "eofc") and not _EOF_OK:
         # the factored schedule hardcodes the basis STRUCTURE; if the
         # import-time identity check against M/M_INV failed, an explicit
         # request must error rather than silently compute wrong moments
         # (the DEFAULT falls back to "eo" on its own)
         raise ValueError(
-            "transform='eof' unavailable: the factored schedule no "
-            "longer matches this lattice basis (use 'eo')")
+            "transform='%s' unavailable: the factored schedule no "
+            "longer matches this lattice basis (use 'eo')" % transform)
 
     def run_jnp(state: SimState, ref2=None) -> SimState:
         if ref2 is None:

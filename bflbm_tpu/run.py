@@ -386,7 +386,7 @@ def main(argv=None):
     ap.add_argument("--block", type=int, default=None,
                     help="kernel temporal-blocking depth (default auto)")
     ap.add_argument("--transform", default=None,
-                    choices=["unrolled", "eo", "eof", "mxu"],
+                    choices=["unrolled", "eo", "eof", "eofc", "mxu"],
                     help="kernel moment-transform variant")
     ap.add_argument("--noise-dist", default=None, choices=["clt4", "bm"],
                     help="kernel normal generator")

@@ -216,6 +216,55 @@ def test_eo_transform_matches_mxu():
                                rtol=0, atol=1e-6)
 
 
+def test_eofc_matches_eof_and_pins_exact_mass():
+    """transform="eofc" = "eof" with the mass row re-summed by the
+    compensated TwoSum tree (_comp_sum): same step to round-off, and
+    the compensated row equals the EXACT f32-population sum (checked
+    against a float64 re-sum) where the plain tree may be ulps off."""
+    from bflbm_tpu.kernels.fused_step import (_comp_sum, _eof_mom,
+                                              _fused_step_call)
+    from bflbm_tpu.models.binary_fluid import prelude
+    from bflbm_tpu.ops import collide as collide_ops
+
+    # algebraic property of the compensated row on adversarial values:
+    # near-equal pairs (the production population structure) whose
+    # plain tree sum is ulps off the exact sum
+    rng = np.random.default_rng(3)
+    vals = (np.float32(1.0 / 3.0)
+            * (1.0 + 1e-5 * rng.standard_normal((19, 4096))
+               .astype(np.float32)))
+    exact = vals.astype(np.float64).sum(axis=0)
+    comp = np.asarray(_comp_sum([jnp.asarray(v) for v in vals]),
+                      np.float64)
+    plain = np.asarray(_eof_mom([jnp.asarray(v) for v in vals])[0],
+                       np.float64)
+    # compensated: correctly rounded (<= 0.5 ulp of ~6.3)
+    assert np.abs(comp - exact).max() <= 0.5 * np.spacing(
+        np.float32(6.4), dtype=np.float32)
+    assert np.abs(comp - exact).max() <= np.abs(plain - exact).max()
+
+    params = LBMParams(alpha0=1.5, kBT=1e-5, kappa=0.1,
+                       rho_lo=0.1, rho_hi=3.0)
+    shape = (8, 8, 8)
+    state = model.init_droplet(shape, params, dtype=jnp.float32,
+                               radius=0.3)
+    h, xi_f, xi_g, _ = prelude(state, params)
+    f1, g1 = collide_ops.collide(state.f, state.g, h, xi_f, xi_g, params)
+    seed = jnp.array([1, 2], jnp.int32)
+    outs = {}
+    with pltpu.force_tpu_interpret_mode():
+        for t in ("eof", "eofc"):
+            outs[t] = _fused_step_call(
+                params, shape, (8, 8), True, seed, f1, g1, block=1,
+                transform=t, noise_impl="hash")
+    np.testing.assert_allclose(np.asarray(outs["eofc"][0]),
+                               np.asarray(outs["eof"][0]),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(outs["eofc"][1]),
+                               np.asarray(outs["eof"][1]),
+                               rtol=0, atol=1e-6)
+
+
 def test_clt4_normal_moments():
     """The CLT-4 byte-sum generator has EXACT first/second moments (the
     only cumulants entering the validated fluctuation observables), zero
