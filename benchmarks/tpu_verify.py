@@ -377,7 +377,12 @@ def throughput(fast):
              # compensated-mass-row cost (decision data for whether
              # "eofc" can be the default on the DMA-bound path)
              ("fluct_eofc", dict(alpha0=0.0, kBT=1e-5),
-              dict(transform="eofc"))]
+              dict(transform="eofc")),
+             # block=3 temporal blocking (interpret parity already
+             # pinned in tests/test_fused_kernel.py; VMEM fits: ext
+             # block ~35 MB at 256^3 with bx=16)
+             ("determ_b3", dict(alpha0=0.0, kBT=0.0), dict(block=3)),
+             ("fluct_b3", dict(alpha0=0.0, kBT=1e-5), dict(block=3))]
     if fast:
         cases = cases[:2]
     for name, pkw, nkw in cases:
