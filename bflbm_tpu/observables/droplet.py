@@ -85,8 +85,13 @@ def radial_profile(rho: np.ndarray, com: np.ndarray, nbins: int = 0):
 
 def tanh_profile(r, w, radius, rho_lo, rho_hi):
     """rho(r) = rho_lo + (rho_hi-rho_lo)/2 (1 + tanh((R-r)/sqrt(2W)))
-    — the fit model of LBM_hydrovs.H:117 (W = half squared width)."""
-    arg = np.clip((radius - r) / np.sqrt(2.0 * w), -25.0, 25.0)
+    — the fit model of LBM_hydrovs.H:117 (W = half squared width).
+    |W| is used so the model stays finite when the optimizer probes
+    negative widths mid-fit (the sign is meaningless; fit_droplet
+    reports abs(W)) — otherwise sqrt(neg) NaNs the residuals and the
+    NaN survives np.clip."""
+    arg = np.clip((radius - r) / np.sqrt(2.0 * np.abs(w) + 1e-300),
+                  -25.0, 25.0)
     return rho_lo + 0.5 * (rho_hi - rho_lo) * (1.0 + np.tanh(arg))
 
 
