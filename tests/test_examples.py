@@ -14,11 +14,11 @@ import sys
 import pytest
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-EXAMPLES = sorted(glob.glob(os.path.join(ROOT, "examples", "0*.py")))
+EXAMPLES = sorted(glob.glob(os.path.join(ROOT, "examples", "[0-9]*.py")))
 
 
 def test_examples_present():
-    assert len(EXAMPLES) >= 8
+    assert len(EXAMPLES) >= 10
 
 
 @pytest.mark.parametrize("path", EXAMPLES,
