@@ -104,3 +104,16 @@ def test_closed_covariance_no_history_passthrough():
     Cc, info = closed_covariance({"C": C})
     assert info is None
     np.testing.assert_allclose(Cc, C)
+
+
+def test_msd_plateau_extrapolation_recovers_limit():
+    """msd_model._plateau closes an exponential approach
+    inc_j = A - B r^j to the true limit A (the Brownian plateau)."""
+    from msd_model import _plateau
+    A, B, r = 4.2e-6, 2.0e-6, 0.99
+    j = np.arange(400)          # stop while the tail is still rising
+    series = (A - B * r ** j)[:, None] * np.ones((1, 3))
+    Dw, Dx = _plateau(series, W=100)
+    # window mean is biased low; the extrapolation closes it
+    assert abs(Dw[0] - A / 2) / (A / 2) > 2e-3
+    np.testing.assert_allclose(Dx, A / 2, rtol=1e-4)
