@@ -283,21 +283,20 @@ def _plateau(series, W=100):
     Dx = []
     for a in range(series.shape[1]):
         y = tail[:, a]
-        # fit A - B r^j by log-linear regression on A0 - y with A0 a
-        # refined upper estimate (two-pass)
-        A = y[-W:].mean()
-        for _ in range(2):
-            resid = A - y
-            ok = resid > 0
-            if ok.sum() < 10:
-                break
-            j = np.arange(len(y))[ok]
-            lr = np.polyfit(j, np.log(resid[ok]), 1)
-            r = np.exp(lr[0])
-            if not (0 < r < 1):
-                break
-            B = np.exp(lr[1])
-            A = float((y + B * r ** np.arange(len(y))).mean())
+        # fit the approach from the FIRST DIFFERENCES, which are A-free:
+        # y_{j+1} - y_j = B (1-r) r^j, so a log-linear fit of the
+        # positive diffs gives (r, B) in one shot; then
+        # A = mean(y + B r^j).  Exact for an exact A - B r^j series.
+        A = float(y[-W:].mean())
+        dif = np.diff(y)
+        ok = dif > 0
+        if ok.sum() >= 10:
+            j = np.arange(len(dif))[ok]
+            lr = np.polyfit(j, np.log(dif[ok]), 1)
+            r = float(np.exp(lr[0]))
+            if 0 < r < 1:
+                B = float(np.exp(lr[1])) / (1.0 - r)
+                A = float((y + B * r ** np.arange(len(y))).mean())
         Dx.append(A / 2.0)
     return Dw, np.asarray(Dx)
 
