@@ -62,15 +62,25 @@ import jax
 import jax.numpy as jnp
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.path.join(ROOT, "out", "msd_model")
-EQ_CKPT = os.path.join(ROOT, "out", "acceptance2", "droplet-msd-eq32",
-                       "checkpoint0020000.npz")
-MEASURED_GLOB = os.path.join(ROOT, "out", "acceptance2",
-                             "droplet-msd-fluct32*", "msd_rows.npy")
+# size-dependent globals, bound by _set_size() from --size (default 32)
+OUT = None
+EQ_CKPT = None
+MEASURED_GLOB = None
+SHAPE = None
 
-SHAPE = (32, 32, 32)
 KBT = 5e-5
 THRESH = 0.06   # acceptance.py reduce_frame img_filter
+
+
+def _set_size(n):
+    global OUT, EQ_CKPT, MEASURED_GLOB, SHAPE
+    SHAPE = (n, n, n)
+    suffix = "" if n == 32 else str(n)
+    OUT = os.path.join(ROOT, "out", "msd_model" + suffix)
+    EQ_CKPT = os.path.join(ROOT, "out", "acceptance2",
+                           f"droplet-msd-eq{n}", "checkpoint0020000.npz")
+    MEASURED_GLOB = os.path.join(ROOT, "out", "acceptance2",
+                                 f"droplet-msd-fluct{n}*", "msd_rows.npy")
 
 
 def make_params():
@@ -366,6 +376,9 @@ def main():
     ap.add_argument("stage", choices=["profile", "adjoint", "report"])
     ap.add_argument("--obs", choices=["smooth", "thresh"],
                     default="smooth")
+    ap.add_argument("--size", type=int, default=32,
+                    help="domain edge (32 = system_unit droplet, "
+                         "64 = the reference's xdg_msd_calc data set)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--profile-chunks", type=int, default=40)
     ap.add_argument("--chunk", type=int, default=100)
@@ -373,6 +386,7 @@ def main():
     ap.add_argument("--plateau-tol", type=float, default=0.02)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    _set_size(args.size)
     if args.out:
         global OUT
         OUT = args.out
