@@ -116,6 +116,48 @@ STRESS_MODES = tuple(range(4, 10))
 GHOST_MODES = tuple(range(10, 19))
 
 
+def _tensor_weights() -> np.ndarray:
+    """Second-order tensor weights ``wg[i][a][b]`` (LBM_d3q19.H:78-98).
+
+    The reference declares this table but never references it from any
+    kernel (SURVEY §2.1); it is provided here as a constructed constant
+    for completeness.  Rather than transcribing the 19x3x3 table, we
+    build it from its moment-space content: expanding the reference
+    values in the orthogonal basis (wg_i^{ab} = sum_k G_k^{ab} M_INV[i,k])
+    shows exactly nine non-zero rows with simple rational coefficients —
+
+        G_0  = -I/6                 G_16 = +I/3          (isotropic part)
+        G_5  = diag(2,-1,-1)/3      G_17 = -2 G_5
+        G_6  = diag(0, 1,-1)/3      G_18 = -2 G_6        (diagonal shear)
+        G_7  = (xy+yx)/3,  G_8 = (yz+zy)/3,  G_9 = (xz+zx)/3
+
+    i.e. the traceless stress projectors plus their fourth-order ghost
+    partners (e17 = (2c^2-3) e5, e18 = (2c^2-3) e6) with coefficient -2,
+    and an isotropic -e0/6 + e16/3 pair.  Equality with the reference's
+    literal table is pinned in ``tests/test_lattice.py``.
+    """
+    G = np.zeros((Q, 3, 3))
+    eye = np.eye(3)
+    G[0] = -eye / 6.0
+    G[16] = eye / 3.0
+    G[5] = np.diag([2.0, -1.0, -1.0]) / 3.0
+    G[6] = np.diag([0.0, 1.0, -1.0]) / 3.0
+    G[17] = -2.0 * G[5]
+    G[18] = -2.0 * G[6]
+    for k, (a, b) in ((7, (0, 1)), (8, (1, 2)), (9, (0, 2))):
+        G[k, a, b] = G[k, b, a] = 1.0 / 3.0
+    return np.einsum("ik,kab->iab", M_INV, G)
+
+
+WG = _tensor_weights()
+
+# Pressure-tensor extraction: P_ab = sum_i f_i c_ia c_ib expressed in
+# moment space, P_ab = sum_k PT[k,a,b] m_k (used by the hydrovars(m)
+# stress diagnostic, LBM_d3q19.H:258-286).
+PTENS = np.einsum("ik,ia,ib->kab", M_INV, C.astype(np.float64),
+                  C.astype(np.float64))
+
+
 def sanity() -> None:
     """Raise if the constructed basis is inconsistent (import-time cheap)."""
     assert np.allclose(B, B_REFERENCE), "mode norms disagree with D3Q19 table"

@@ -173,3 +173,35 @@ def pack_bar(hbar: HydroBar) -> jnp.ndarray:
         (hbar.rho + hbar.phi)[None],
         hbar.ug_bar,
     ])
+
+
+def moment_stress(m: jnp.ndarray, eps: float = 1.19209290e-7):
+    """Moment-space stress diagnostic — the ``hydrovars(m)`` analog.
+
+    The reference's lattice layer carries a per-cell diagnostic
+    (LBM_d3q19.H:258-286) mapping the 19 moments to (rho, j, deviatoric
+    stress); it is unused by the drivers but part of the lattice API.
+    Here the full pressure tensor P_ab = sum_i f_i c_ia c_ib is obtained
+    from the moments through the basis-derived contraction ``PTENS``
+    (lattice.py) instead of the reference's hand-unrolled component
+    formulas, then the equilibrium part rho cs^2 I + j j / rho is
+    subtracted wherever rho exceeds the same FLT_EPSILON guard.
+
+    Args:
+      m: moments, shape (19, ...).
+    Returns:
+      (rho, j, sigma): densities (...), momenta (3, ...), deviatoric
+      stress (3, 3, ...).
+    """
+    from ..lattice import PTENS
+
+    rho = m[0]
+    j = m[1:4]
+    pt = jnp.asarray(PTENS, m.dtype)
+    P = jnp.einsum("kab,k...->ab...", pt, m,
+                   precision=jax.lax.Precision.HIGHEST)
+    guard = rho > eps
+    rho_safe = jnp.where(guard, rho, 1.0)
+    eye = jnp.eye(3, dtype=m.dtype).reshape((3, 3) + (1,) * (m.ndim - 1))
+    eq = CS2 * rho * eye + j[None, :] * j[:, None] / rho_safe
+    return rho, j, jnp.where(guard, P - eq, P)
