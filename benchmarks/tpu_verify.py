@@ -386,19 +386,28 @@ def throughput(fast):
     if fast:
         cases = cases[:2]
     for name, pkw, nkw in cases:
-        params = LBMParams(**pkw)
-        st = model.init_mixture(shape, params, dtype=jnp.float32)
-        run = fused_step.make_nsteps(params, n, **nkw)
-        st = run(st)
-        fetch_scalar(st)  # compile + warm
-        tt = time.time()
-        reps = 2
-        for _ in range(reps):
+        # per-case isolation: an experimental variant that fails to
+        # compile (e.g. fluct_b3 runs out of VMEM at 256^3 — register
+        # spill slots of the 3-phase noise sweep) must not abort the
+        # measured cases after it
+        try:
+            params = LBMParams(**pkw)
+            st = model.init_mixture(shape, params, dtype=jnp.float32)
+            run = fused_step.make_nsteps(params, n, **nkw)
             st = run(st)
-            fetch_scalar(st)
-        dt = (time.time() - tt) / reps
-        log(f"mlups_{name}", mlups=round(cells * n / dt / 1e6, 1),
-            ms_per_step=round(dt / n * 1000, 3))
+            fetch_scalar(st)  # compile + warm
+            tt = time.time()
+            reps = 2
+            for _ in range(reps):
+                st = run(st)
+                fetch_scalar(st)
+            dt = (time.time() - tt) / reps
+            log(f"mlups_{name}", mlups=round(cells * n / dt / 1e6, 1),
+                ms_per_step=round(dt / n * 1000, 3))
+        except Exception as e:  # noqa: BLE001 — record, keep measuring
+            msg = str(e)
+            log(f"mlups_{name}", error=type(e).__name__ + (
+                ": vmem OOM" if "vmem" in msg else ""))
 
 
 def main():
