@@ -121,6 +121,16 @@ class RunConfig:
     checkpoint_path: Optional[str] = None
     reseed: bool = False       # checkpoint init: replace the stored RNG
     #                            key with PRNGKey(seed) (indep ensembles)
+    chunk_cap: int = 1000      # max steps per device execution.  Sparse
+    #                            event cadences (e.g. print_int=5000 as
+    #                            the only event) would otherwise become
+    #                            one multi-minute device call — which the
+    #                            tunneled backend's RPC layer kills
+    #                            ("TPU worker crashed") and which starves
+    #                            the NaN sentinel.  The cap picks the
+    #                            largest divisor of the event gcd <= cap
+    #                            so every event still lands on a chunk
+    #                            boundary.  0 = uncapped.
 
     def with_params(self, **kw) -> "RunConfig":
         return replace(self, params=replace(self.params, **kw))

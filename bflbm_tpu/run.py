@@ -45,6 +45,23 @@ def _chunked(total: int, chunk: int):
         done += n
 
 
+def _pick_chunk(events, nsteps: int, cap: int) -> int:
+    """Steps per device execution: gcd of the event cadences, capped.
+
+    Sparse cadences (e.g. print_int=5000 as the only event) would
+    otherwise become one multi-minute device call — which the tunneled
+    backend's RPC layer kills ("TPU worker crashed") and which starves
+    the NaN sentinel.  The cap keeps every event on a chunk boundary by
+    taking the largest divisor of the gcd <= cap (cap 0 = uncapped)."""
+    chunk = events[0] if events else nsteps
+    for v in events[1:]:
+        chunk = math.gcd(chunk, v)
+    chunk = max(1, min(chunk, nsteps))
+    if cap and chunk > cap:
+        chunk = max(d for d in range(1, cap + 1) if chunk % d == 0)
+    return chunk
+
+
 def run(cfg: RunConfig, *, mesh=None, engine: str = "auto",
         on_frame: Optional[Callable] = None,
         kernel_opts: Optional[dict] = None) -> SimState:
@@ -107,18 +124,18 @@ def run(cfg: RunConfig, *, mesh=None, engine: str = "auto",
     events = [v for v in (cfg.plot_int, cfg.print_int, cfg.out_noise_int,
                           cfg.sf_every if (p.noise_on and cfg.sf_window)
                           else 0) if v]
-    chunk = events[0] if events else cfg.nsteps
-    for v in events[1:]:
-        chunk = math.gcd(chunk, v)
-    chunk = max(1, min(chunk, cfg.nsteps))
-    if events and chunk < min(events) and chunk < cfg.nsteps:
+    chunk = _pick_chunk(events, cfg.nsteps, cfg.chunk_cap)
+    # warn only on a SMALL chunk (per-chunk entry/exit overhead, ~130 ms
+    # on the kernel engines) — a chunk_cap-limited chunk of O(100+) is
+    # deliberate and cheap
+    if events and chunk < min(min(events), 50) and chunk < cfg.nsteps:
         import warnings
 
         warnings.warn(
-            f"event cadences {events} have gcd {chunk}: the run advances "
-            f"only {chunk} step(s) per chunk and pays the chunk entry/exit "
-            "overhead every time — make the cadences multiples of a common "
-            "base for TPU throughput", stacklevel=2)
+            f"event cadences {events} give a chunk of only {chunk} "
+            "step(s): the run pays the chunk entry/exit overhead every "
+            "time — make the cadences multiples of a common base for "
+            "TPU throughput", stacklevel=2)
     run_chunk = None
     is_pallas = False
     if cfg.use_ref_state and engine not in ("auto", "jnp", "pallas"):

@@ -153,3 +153,21 @@ def test_deep_quench_init_width_stabilizes():
     rho = np.asarray(jnp.sum(st.f, axis=0))
     assert np.isfinite(rho).all()
     assert 2.5 < rho.max() < 4.5
+
+
+def test_pick_chunk_caps_sparse_cadences():
+    from bflbm_tpu.run import _pick_chunk
+
+    # sparse single event: capped to the largest divisor <= cap so the
+    # cadence still lands on a chunk boundary
+    assert _pick_chunk([5000], 100_000, 1000) == 1000
+    assert _pick_chunk([5000], 100_000, 900) == 625
+    # gcd semantics unchanged below the cap
+    assert _pick_chunk([2000, 100], 600_000, 1000) == 100
+    # no events: nsteps, capped
+    assert _pick_chunk([], 100_000, 1000) == 1000
+    assert _pick_chunk([], 50, 1000) == 50
+    # uncapped (cap=0) keeps the old behavior
+    assert _pick_chunk([5000], 100_000, 0) == 5000
+    # prime cadence above the cap degrades to 1 (correct, warned slow)
+    assert _pick_chunk([4999], 100_000, 1000) == 1
