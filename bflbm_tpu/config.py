@@ -121,6 +121,16 @@ class RunConfig:
     checkpoint_path: Optional[str] = None
     reseed: bool = False       # checkpoint init: replace the stored RNG
     #                            key with PRNGKey(seed) (indep ensembles)
+    noise_source: str = "threefry"  # jnp-engine noise stream: "threefry"
+    #                            (bulk counter-based draw) or "hash" (the
+    #                            per-cell coordinate-keyed stream the
+    #                            fused kernel's noise_impl="hash" uses —
+    #                            the RANDRAW draw_from_pdf_normal analog,
+    #                            LBM_binary.H:42-63; makes a jnp run's
+    #                            noise a pure function of (key, step,
+    #                            cell): reconstructible + mesh-invariant)
+    noise_dist: str = "clt4"   # normal generator for noise_source="hash"
+    #                            ("clt4" byte-sum / "bm" Box-Muller)
     chunk_cap: int = 1000      # max steps per device execution.  Sparse
     #                            event cadences (e.g. print_int=5000 as
     #                            the only event) would otherwise become

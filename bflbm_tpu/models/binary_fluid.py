@@ -34,7 +34,8 @@ from ..ops import stream as stream_ops
 from ..state import SimState, init_state
 
 
-def prelude(state: SimState, params: LBMParams, ref_state=None):
+def prelude(state: SimState, params: LBMParams, ref_state=None, *,
+            noise_source: str = "threefry", noise_dist: str = "clt4"):
     """Noise draw + real-hydrovar reconstruction for the current state.
 
     Returns (hydro, xi_f, xi_g, key') where key' is the advanced RNG key.
@@ -47,6 +48,14 @@ def prelude(state: SimState, params: LBMParams, ref_state=None):
     center-of-mass frame (LBM_binary.H:92-106 + update_com per step).
     com_ref=None marks the fields as PRE-ROLLED (the kernel engines
     roll once per chunk): they are used as-is with zero shift.
+
+    noise_source: "threefry" (bulk counter-based draw, default) or
+    "hash" — the per-cell coordinate-keyed stream (the reference's
+    RANDRAW ``draw_from_pdf_normal`` analog, LBM_binary.H:42-63).  The
+    hash word is derived from the key split exactly as the fused kernel
+    does, so a "hash" jnp trajectory consumes bitwise the same noise as
+    a ``noise_impl="hash"`` kernel trajectory.  noise_dist: "clt4"/"bm"
+    normal generator for the hash stream.
     """
     hbar = hydro_ops.hydrovars_bar(state.f, state.g, params)
     key, sub = jax.random.split(state.key)
@@ -61,16 +70,28 @@ def prelude(state: SimState, params: LBMParams, ref_state=None):
             noise_ref = (rho_eq, phi_eq, com - jnp.asarray(com_ref))
     else:
         noise_ref = None
-    xi_f, xi_g = noise_ops.thermal_noise(sub, hbar.rho, hbar.phi, params,
-                                         noise_ref)
+    if noise_source == "hash" and params.noise_on:
+        # identical word derivation to fused_stream_collide
+        word = jax.random.randint(
+            sub, (1,), minval=jnp.iinfo(jnp.int32).min,
+            maxval=jnp.iinfo(jnp.int32).max, dtype=jnp.int32)[0]
+        xi_f, xi_g = noise_ops.thermal_noise_hash(
+            word, state.step, hbar.rho, hbar.phi, params, noise_ref,
+            noise_dist)
+    else:
+        xi_f, xi_g = noise_ops.thermal_noise(sub, hbar.rho, hbar.phi,
+                                             params, noise_ref)
     h = hydro_ops.hydrovars(state.f, state.g, xi_f, xi_g, params, hbar)
     return h, xi_f, xi_g, key
 
 
-def step(state: SimState, params: LBMParams,
-         ref_state=None) -> Tuple[SimState, hydro_ops.Hydro]:
+def step(state: SimState, params: LBMParams, ref_state=None, *,
+         noise_source: str = "threefry",
+         noise_dist: str = "clt4") -> Tuple[SimState, hydro_ops.Hydro]:
     """One full LB timestep; returns (new_state, hydro-at-step-start)."""
-    h, xi_f, xi_g, key = prelude(state, params, ref_state)
+    h, xi_f, xi_g, key = prelude(state, params, ref_state,
+                                 noise_source=noise_source,
+                                 noise_dist=noise_dist)
     f1, g1 = collide_ops.collide(state.f, state.g, h, xi_f, xi_g, params)
     f2 = stream_ops.stream(f1)
     g2 = stream_ops.stream(g1)
@@ -85,11 +106,14 @@ def compute_hydro(state: SimState, params: LBMParams) -> hydro_ops.Hydro:
     return h
 
 
-def nsteps(state: SimState, params: LBMParams, n: int) -> SimState:
+def nsteps(state: SimState, params: LBMParams, n: int,
+           noise_source: str = "threefry",
+           noise_dist: str = "clt4") -> SimState:
     """Run n steps under lax.scan (jit-friendly inner loop)."""
 
     def body(s, _):
-        s, _h = step(s, params)
+        s, _h = step(s, params, noise_source=noise_source,
+                     noise_dist=noise_dist)
         return s, None
 
     out, _ = jax.lax.scan(body, state, None, length=n)

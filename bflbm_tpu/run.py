@@ -111,12 +111,22 @@ def run(cfg: RunConfig, *, mesh=None, engine: str = "auto",
         com_ref = np.asarray(stats_obs.center_of_mass(rho_eq))
         ref_state = (rho_eq, phi_eq, com_ref)
 
-    step_plain = jax.jit(lambda s: model.step(s, p, ref_state)[0],
+    # jnp-engine noise stream selector (RunConfig.noise_source): "hash"
+    # = the per-cell coordinate-keyed stream (RANDRAW analog) — jnp
+    # engine only; kernel engines select streams via noise_impl.
+    nsrc = dict(noise_source=cfg.noise_source, noise_dist=cfg.noise_dist)
+    if cfg.noise_source != "threefry" and engine != "jnp":
+        raise ValueError(
+            f"noise_source={cfg.noise_source!r} selects the jnp engine's "
+            "stream; use engine='jnp' (kernel engines select their "
+            "streams via kernel_opts noise_impl/noise_dist)")
+    step_plain = jax.jit(lambda s: model.step(s, p, ref_state, **nsrc)[0],
                          donate_argnums=0)
     hydro_only = jax.jit(
-        lambda s: hydro_ops.pack(model.prelude(s, p, ref_state)[0]))
-    noise_only = (jax.jit(lambda s: model.prelude(s, p, ref_state)[1:3])
-                  if cfg.out_noise_int > 0 else None)
+        lambda s: hydro_ops.pack(model.prelude(s, p, ref_state, **nsrc)[0]))
+    noise_only = (jax.jit(
+        lambda s: model.prelude(s, p, ref_state, **nsrc)[1:3])
+        if cfg.out_noise_int > 0 else None)
 
     # Fast bulk advancement: between observable events, advance `chunk`
     # steps at once through the selected engine (fused Pallas kernel on
@@ -230,7 +240,7 @@ def run(cfg: RunConfig, *, mesh=None, engine: str = "auto",
     if run_chunk is None and chunk > 1:
         def _scan_chunk(s):
             def body(st, _):
-                st, _h = model.step(st, p, ref_state)
+                st, _h = model.step(st, p, ref_state, **nsrc)
                 return st, None
             out, _ = jax.lax.scan(body, s, None, length=chunk)
             return out
@@ -407,6 +417,11 @@ def main(argv=None):
                     help="kernel moment-transform variant")
     ap.add_argument("--noise-dist", default=None, choices=["clt4", "bm"],
                     help="kernel normal generator")
+    ap.add_argument("--noise-source", default=None,
+                    choices=["threefry", "hash"],
+                    help="jnp-engine noise stream; 'hash' = per-cell "
+                    "coordinate-keyed (RANDRAW analog, reconstructible; "
+                    "requires --engine jnp)")
     ap.add_argument("--profile-dir", default=None,
                     help="write a jax.profiler trace (TensorBoard/xprof "
                     "format) covering the whole run")
@@ -457,6 +472,10 @@ def main(argv=None):
         cfg = cfg.with_params(kBT=args.kBT)
     if args.alpha0 is not None:
         cfg = cfg.with_params(alpha0=args.alpha0)
+    if args.noise_source is not None:
+        cfg = cfg.replace(noise_source=args.noise_source,
+                          **({"noise_dist": args.noise_dist}
+                             if args.noise_dist is not None else {}))
     if args.f64:
         jax.config.update("jax_enable_x64", True)
         cfg = cfg.replace(dtype=jnp.float64)

@@ -404,6 +404,44 @@ def test_blocked_equals_composed_with_noise():
                                rtol=1e-6)
 
 
+def test_fluctuating_cross_engine_parity_hash():
+    """FLUCTUATING kernel-vs-jnp trajectory parity — direct, not
+    statistical: with noise_impl="hash" the kernel's noise is the pure
+    coordinate-keyed stream, and the jnp engine's noise_source="hash"
+    derives the identical (word, step) keys from the same RNG-key
+    trajectory, so both engines consume bitwise the same normals and the
+    trajectories must agree to f32 round-off (the kernel enters
+    post-collide space through one threefry prelude — mirrored here by
+    running the first jnp step with the default source).
+
+    This closes the fluctuating gap in the kBT=0 golden tests above:
+    amplitude application + collide + stream are now cross-checked at
+    kBT>0 on the same noise realization.
+    """
+    params = LBMParams(alpha0=1.5, kBT=1e-5, kappa=0.1,
+                       rho_lo=0.1, rho_hi=3.0)
+    shape = (8, 8, 8)
+    state = model.init_droplet(shape, params, dtype=jnp.float32, radius=0.3)
+
+    n = 4
+    ref, _ = model.step(state, params)          # chunk-entry prelude
+    for _ in range(n - 1):
+        ref, _ = model.step(ref, params, noise_source="hash")
+
+    with pltpu.force_tpu_interpret_mode():
+        run = fused_step.make_nsteps(params, n, force=True,
+                                     tile=(shape[0], shape[1]), block=1,
+                                     noise_impl="hash")
+        got = run(state)
+
+    assert int(got.step) == n
+    np.testing.assert_array_equal(np.asarray(got.key), np.asarray(ref.key))
+    np.testing.assert_allclose(np.asarray(got.f), np.asarray(ref.f),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got.g), np.asarray(ref.g),
+                               rtol=0, atol=2e-5)
+
+
 def test_fused_single_step_is_jnp_step():
     """n=1 degenerates to exactly the jnp path (no kernel involved)."""
     params = LBMParams(alpha0=0.0, kBT=1e-5)

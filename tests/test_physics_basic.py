@@ -155,6 +155,37 @@ def test_deep_quench_init_width_stabilizes():
     assert 2.5 < rho.max() < 4.5
 
 
+def test_run_noise_source_hash():
+    """RunConfig.noise_source='hash' routes the jnp engine onto the
+    coordinate-keyed stream (RANDRAW draw_from_pdf_normal analog): the
+    run completes, equals the manual model.step(noise_source='hash')
+    trajectory, and non-jnp engines reject the option loudly."""
+    import tempfile
+
+    from bflbm_tpu import run as run_mod
+    from bflbm_tpu.config import RunConfig
+
+    with tempfile.TemporaryDirectory() as d:
+        cfg = RunConfig(shape=(8, 8, 8), params=LBMParams(kBT=1e-5),
+                        nsteps=6, init="mixture", out_dir=d,
+                        noise_source="hash")
+        out = run_mod.run(cfg, engine="jnp")
+        ref = model.make_initial_state(cfg)
+        for _ in range(6):
+            ref, _ = model.step(ref, cfg.params, noise_source="hash")
+        # scan-compiled chunk vs eager per-step: same math, fusion may
+        # re-associate rounding — f32 round-off tolerance
+        np.testing.assert_allclose(np.asarray(out.f), np.asarray(ref.f),
+                                   rtol=0, atol=5e-6)
+        # differs from the default threefry stream (it IS another stream)
+        thr = model.make_initial_state(cfg)
+        for _ in range(6):
+            thr, _ = model.step(thr, cfg.params)
+        assert not np.array_equal(np.asarray(out.f), np.asarray(thr.f))
+        with pytest.raises(ValueError, match="noise_source"):
+            run_mod.run(cfg, engine="pallas")
+
+
 def test_pick_chunk_caps_sparse_cadences():
     from bflbm_tpu.run import _pick_chunk
 
