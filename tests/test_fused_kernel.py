@@ -1,10 +1,12 @@
 """Fused Pallas kernel vs the jnp reference path.
 
 At kBT=0 the two paths compute the identical deterministic update, so
-trajectories must agree to f32 round-off.  With noise the paths use
-different (statistically identical) RNG streams, so only statistics are
-compared (see test_noise for the jnp amplitudes; kernel noise statistics
-are validated on hardware in benchmarks/).
+trajectories must agree to f32 round-off.  At kBT>0 the hw-PRNG streams
+are compared statistically (test_noise amplitudes; hardware covariance
+in benchmarks/), while the coordinate-keyed hash stream enables DIRECT
+fluctuating trajectory parity: the jnp engine's noise_source="hash"
+consumes bitwise the kernel's noise_impl="hash" stream
+(test_fluctuating_cross_engine_parity_hash).
 """
 
 import jax

@@ -6,6 +6,9 @@ cross-grid-step DMA pipeline).  Validates
 
 * kBT=0 parity with the jnp trajectory on 2D meshes (halo exchange +
   ext-mode kernel + temporal blocking);
+* DIRECT fluctuating parity with the jnp trajectory (both engines
+  consuming the identical coordinate-keyed hash stream — the jnp side
+  via noise_source="hash");
 * mesh-layout invariance of the fluctuating trajectory with the
   coordinate-keyed hash noise (the analog of the jnp path's
   decomposition invariance, tests/test_halo.py).
@@ -72,6 +75,29 @@ def test_kernel_shard_noise_mesh_invariance():
     # round-off, far below the per-step noise scale
     np.testing.assert_allclose(float(jnp.sum(a.f)), float(jnp.sum(b.f)),
                                rtol=1e-6)
+
+
+def test_kernel_shard_fluctuating_matches_jnp_hash():
+    """Direct (non-statistical) FLUCTUATING parity of the sharded kernel
+    against the jnp engine: with hash noise both consume the identical
+    coordinate-keyed stream (the jnp side via noise_source='hash', whose
+    per-step word derivation matches the sweep body's), so the
+    trajectories — halo exchange, seam recompute, temporal blocking and
+    all — must agree to f32 round-off at kBT > 0."""
+    params = LBMParams(alpha0=1.5, kBT=1e-5, kappa=0.1,
+                       rho_lo=0.1, rho_hi=3.0)
+    shape = (8, 32, 128)
+    state = model.init_droplet(shape, params, dtype=jnp.float32, radius=0.3)
+    n = 4
+    ref, _ = model.step(state, params)      # chunk-entry prelude (threefry)
+    for _ in range(n - 1):
+        ref, _ = model.step(ref, params, noise_source="hash")
+    got = _run((2, 4, 1), state, params, n, block=2, tile=(4, 8))
+    assert int(got.step) == n
+    np.testing.assert_allclose(np.asarray(got.f), np.asarray(ref.f),
+                               rtol=1e-3, atol=5e-6)
+    np.testing.assert_allclose(np.asarray(got.g), np.asarray(ref.g),
+                               rtol=1e-3, atol=5e-6)
 
 
 def test_kernel_overlap_split_matches_jnp_deterministic():
