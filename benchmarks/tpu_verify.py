@@ -94,6 +94,37 @@ def tiling_invariance():
           max_df=d, mass_rel=dm)
 
 
+def parity_fluctuating_hash(block):
+    """DIRECT fluctuating kernel-vs-jnp parity on hardware: with
+    noise_impl="hash" the real (non-interpret) Pallas kernel consumes
+    the same coordinate-keyed stream the jnp engine draws via
+    noise_source="hash", so kBT>0 trajectories must agree to f32
+    round-off — amplitude application, collide, stream, seam recompute
+    and the multi-tile DMA pipeline all cross-checked on one noise
+    realization (the interpret-mode analog is
+    tests/test_fused_kernel.py::test_fluctuating_cross_engine_parity_hash).
+    """
+    params = LBMParams(alpha0=1.5, kBT=1e-5, kappa=0.1,
+                       rho_lo=0.1, rho_hi=3.0)
+    shape = (32, 32, 128)
+    state = model.init_droplet(shape, params, dtype=jnp.float32,
+                               radius=0.25)
+    n = 5
+    stepj = jax.jit(lambda s: model.step(s, params,
+                                         noise_source="hash")[0])
+    ref, _ = model.step(state, params)   # chunk-entry prelude (threefry)
+    for _ in range(n - 1):
+        ref = stepj(ref)
+    fetch_scalar(ref)
+    got = fused_step.make_nsteps(params, n, block=block,
+                                 noise_impl="hash")(state)
+    fetch_scalar(got)
+    df = float(jnp.max(jnp.abs(got.f - ref.f)))
+    dg = float(jnp.max(jnp.abs(got.g - ref.g)))
+    check(df < 3e-5 and dg < 3e-5, f"parity_fluct_hash_block{block}",
+          max_df=df, max_dg=dg)
+
+
 def noise_statistics(noise_impl):
     """Per-mode injected-noise variance ratios vs the FDT amplitudes
     (NoiseCovariance.ipynb cell 3 analog for the in-kernel streams).
@@ -419,6 +450,8 @@ def main():
     sections = {
         "parity1": lambda: parity_deterministic(1),
         "parity2": lambda: parity_deterministic(2),
+        "parity_fluct1": lambda: parity_fluctuating_hash(1),
+        "parity_fluct2": lambda: parity_fluctuating_hash(2),
         "tiling": tiling_invariance,
         "noise_hw": lambda: noise_statistics("hw"),
         "noise_hash": lambda: noise_statistics("hash"),

@@ -43,3 +43,16 @@ analysis.main(["noise", "--dir", args.out,
                "--tau", str(cfg.params.tau_f)])
 show("expected", {"every mode ratio": "~1.0 +- few % (20 dumped frames)",
                   "momentum anticorrelation": "-1.0 between species"})
+
+# --- Same audit on the coordinate-keyed stream (RANDRAW analog) --------
+# noise_source="hash" makes the jnp engine's noise a pure function of
+# (key, step, cell) — the stream noise_impl="hash" kernel runs consume —
+# so any dumped frame is reconstructible offline from the run config.
+cfg2 = cfg.replace(out_dir=args.out + "_hash", noise_source="hash")
+ensure_dir(cfg2.out_dir)
+run_mod.run(cfg2, engine="jnp")
+analysis.main(["noise", "--dir", cfg2.out_dir,
+               "--kBT", str(cfg2.params.kBT),
+               "--tau", str(cfg2.params.tau_f)])
+show("expected (hash stream)",
+     {"every mode ratio": "~1.0 +- few % (CLT-4 byte-sum normals)"})
