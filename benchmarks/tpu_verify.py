@@ -125,7 +125,7 @@ def parity_fluctuating_hash(block):
           max_df=df, max_dg=dg)
 
 
-def noise_statistics(noise_impl):
+def noise_statistics(noise_impl, noise_dist="clt4"):
     """Per-mode injected-noise variance ratios vs the FDT amplitudes
     (NoiseCovariance.ipynb cell 3 analog for the in-kernel streams).
 
@@ -140,7 +140,7 @@ def noise_statistics(noise_impl):
     seed = jnp.array([987654321, 3], jnp.int32)
     fo, go = fused_step._fused_step_call(
         params, shape, (8, 16), True, seed, state.f, state.g,
-        block=1, noise_impl=noise_impl)
+        block=1, noise_impl=noise_impl, noise_dist=noise_dist)
     fetch_scalar(fo)
     mm = np.asarray(M, np.float64)
     dmf = np.einsum("ki,ixyz->kxyz", mm,
@@ -162,9 +162,10 @@ def noise_statistics(noise_impl):
         worst = max(worst, abs(rf - 1), abs(rg - 1))
     # momentum anti-correlation between species (LBM_binary.H:117-118)
     cc = float(np.corrcoef(dmf[1].ravel(), dmg[1].ravel())[0, 1])
+    name = f"noise_variance_{noise_impl}" + (
+        "" if noise_dist == "clt4" else f"_{noise_dist}")
     check(worst < 0.03 and cc < -0.999,
-          f"noise_variance_{noise_impl}", worst_dev=round(worst, 4),
-          mom_anticorr=round(cc, 5))
+          name, worst_dev=round(worst, 4), mom_anticorr=round(cc, 5))
 
 
 def conservation():
@@ -455,6 +456,8 @@ def main():
         "tiling": tiling_invariance,
         "noise_hw": lambda: noise_statistics("hw"),
         "noise_hash": lambda: noise_statistics("hash"),
+        "noise_hw_clt2": lambda: noise_statistics("hw", "clt2"),
+        "noise_hash_clt2": lambda: noise_statistics("hash", "clt2"),
         "conservation": conservation,
         "mass_drift": mass_drift_ab,
         "ext": ext_mode_parity,

@@ -47,8 +47,9 @@ the bit source is either the coordinate-keyed hash stream
 hardware PRNG seeded per (seed, step, tile) (``"hw"``, final phase
 only), and the normal generator is ``noise_dist="clt4"`` (byte-sum,
 exact first/second moments, no transcendentals — see
-:func:`_clt4_normal`) or ``"bm"`` (Box-Muller, exact Gaussian,
-~3x slower noise phase).  All kernel streams are statistically
+:func:`_clt4_normal`), ``"clt2"`` (byte-pair halves, two normals per
+word — cheapest, see :func:`_clt2_pair`) or ``"bm"`` (Box-Muller,
+exact Gaussian, ~3x slower noise phase).  All kernel streams are statistically
 identical to the jnp path's threefry Gaussians for every validated
 fluctuation observable but not bitwise equal (the jnp path remains the
 decomposition-invariant reference; parity tests run at kBT=0 where the
@@ -501,6 +502,31 @@ def _clt4_normal(w, dtype):
     return i.astype(dtype) * _CLT4_SCALE + _CLT4_OFF
 
 
+# CLT-2 byte-pair normal: each 16-bit half of one uint32 word -> sum of
+# its 2 bytes, standardized — TWO normals per word.  Exact mean and
+# variance like CLT-4, heavier truncation: support +-2.44 sigma, excess
+# kurtosis -0.6 (still far inside Ladd's uniform-noise precedent at
+# -1.2, J. Fluid Mech. 271, 1994); every validated fluctuation
+# observable is a second-moment statistic (see the CLT-4 note above).
+# Cost: the same first SWAR add as CLT-4 then two half extractions —
+# ~3 int ops per normal vs 7, on HALF the PRNG bits (the generator is
+# the dominant noise cost at 256^3; benchmarks/tpu_noise_micro.py).
+_CLT2_VAR = 2.0 * (65536.0 - 1.0) / 12.0    # var of a 0..510 byte-pair sum
+_CLT2_SCALE = float(1.0 / np.sqrt(_CLT2_VAR))
+_CLT2_OFF = float(-255.0 / np.sqrt(_CLT2_VAR))
+
+
+def _clt2_pair(w, dtype):
+    """uint32 word -> (n_lo, n_hi) standardized byte-pair normals (see
+    above).  The halves of one xor-shift-mixed word are independent to
+    the same degree consecutive words are (avalanche mixes all bits)."""
+    t = (w & jnp.uint32(0x00FF00FF)) + ((w >> 8) & jnp.uint32(0x00FF00FF))
+    lo = jax.lax.bitcast_convert_type(t & jnp.uint32(0xFFFF), jnp.int32)
+    hi = jax.lax.bitcast_convert_type(t >> 16, jnp.int32)
+    return (lo.astype(dtype) * _CLT2_SCALE + _CLT2_OFF,
+            hi.astype(dtype) * _CLT2_SCALE + _CLT2_OFF)
+
+
 def _bm_normals(us, dtype):
     """Box-Muller over 2*_NPAIR uniforms -> (n1, n2) pair lists."""
     two_pi = 6.283185307179586
@@ -516,12 +542,17 @@ def _bm_normals(us, dtype):
 def hash_normals(word, step, origin, region, domain, dtype,
                  dist: str = "clt4"):
     """(n1, n2) lists of _NPAIR standard normals each over the
-    coordinate-keyed hash stream.  dist: "clt4" (byte-sum, default) or
-    "bm" (Box-Muller, exact Gaussian, ~2x slower)."""
+    coordinate-keyed hash stream.  dist: "clt4" (byte-sum, default),
+    "clt2" (byte-pair halves, 2 normals/word — cheapest), or "bm"
+    (Box-Muller, exact Gaussian, ~2x slower)."""
     if dist == "bm":
         us = hash_uniforms(word, step, origin, region, domain,
                            2 * _NPAIR, dtype)
         return _bm_normals(us, dtype)
+    if dist == "clt2":
+        ws = hash_words(word, step, origin, region, domain, _NPAIR)
+        pairs = [_clt2_pair(w, dtype) for w in ws]
+        return [p[0] for p in pairs], [p[1] for p in pairs]
     ws = hash_words(word, step, origin, region, domain, 2 * _NPAIR)
     n = [_clt4_normal(w, dtype) for w in ws]
     return n[0::2], n[1::2]
@@ -1092,6 +1123,12 @@ def _step_kernel(params: LBMParams, shape, gdomain, bx, by, block,
                 + (oy0 + j * by)
             pltpu.prng_seed(seed_ref[s] + gtile * jnp.int32(-1640531527),
                             step0 + s)
+            if noise_dist == "clt2":
+                bits = pltpu.prng_random_bits((_NPAIR,) + shape_hw)
+                pairs = [_clt2_pair(pltpu.bitcast(bits[p], jnp.uint32),
+                                    dtype)
+                         for p in range(_NPAIR)]
+                return [p[0] for p in pairs], [p[1] for p in pairs]
             bits = pltpu.prng_random_bits((2 * _NPAIR,) + shape_hw)
             if noise_dist == "clt4":
                 ns = [_clt4_normal(pltpu.bitcast(bits[a], jnp.uint32),
@@ -1130,7 +1167,7 @@ def _step_kernel(params: LBMParams, shape, gdomain, bx, by, block,
                 return hw_normals(s, region)
             wb = 2 * p_s                      # seam band width per edge
             inx, iny = bx - 2 * p_s, by - 2 * p_s
-            if noise_impl == "hash" or noise_dist != "clt4" \
+            if noise_impl == "hash" or noise_dist not in ("clt4", "clt2") \
                     or inx < 8 or iny < 8:
                 # all-hash: decomposition-invariant reference stream
                 # (also the fallback when the exclusive interior is too
@@ -1409,7 +1446,8 @@ def make_nsteps(params: LBMParams, n: int, tile=None, force: bool = False,
     the FINAL phase's noise stream ("hw" hardware PRNG / "hash"
     coordinate-keyed); non-final phases always use "hash".
     ``noise_dist`` selects the normal generator: "clt4" byte-sum
-    (default; exact first/second moments, see :func:`_clt4_normal`) or
+    (default; exact first/second moments, see :func:`_clt4_normal`),
+    "clt2" byte-pair halves (cheapest, see :func:`_clt2_pair`) or
     "bm" Box-Muller (exact Gaussian, ~2x slower noise phase).
     """
     from ..models import binary_fluid as model
@@ -1465,7 +1503,8 @@ def make_nsteps(params: LBMParams, n: int, tile=None, force: bool = False,
                 bx, by = tile
             else:
                 bx, by = _choose_tile(shape, 2, True)
-            hybrid_ok = (noise_impl == "hw" and noise_dist == "clt4"
+            hybrid_ok = (noise_impl == "hw"
+                         and noise_dist in ("clt4", "clt2")
                          and bx >= 12 and by >= 12)
             return 2 if hybrid_ok else 1
         return 2 if shape[0] >= 4 else 1

@@ -415,8 +415,10 @@ def main(argv=None):
     ap.add_argument("--transform", default=None,
                     choices=["unrolled", "eo", "eof", "eofc", "mxu"],
                     help="kernel moment-transform variant")
-    ap.add_argument("--noise-dist", default=None, choices=["clt4", "bm"],
-                    help="kernel normal generator")
+    ap.add_argument("--noise-dist", default=None,
+                    choices=["clt4", "clt2", "bm"],
+                    help="kernel normal generator (clt2: cheapest, "
+                    "exact first/second moments, support +-2.44 sigma)")
     ap.add_argument("--noise-source", default=None,
                     choices=["threefry", "hash"],
                     help="jnp-engine noise stream; 'hash' = per-cell "

@@ -122,7 +122,7 @@ def test_axis_perm_for_shape():
     assert not fused_step.supports((32, 32, 32))
 
 
-@pytest.mark.parametrize("dist", ["clt4", "bm"])
+@pytest.mark.parametrize("dist", ["clt4", "clt2", "bm"])
 def test_hash_normals_coordinate_keyed(dist):
     """The counter-RNG normal for a global cell is independent of the
     region it is generated on — including negative origins and periodic
@@ -157,7 +157,7 @@ def test_hash_normals_coordinate_keyed(dist):
     assert not np.allclose(np.asarray(other[0][0]), np.asarray(full[0][0]))
 
 
-@pytest.mark.parametrize("dist", ["clt4", "bm"])
+@pytest.mark.parametrize("dist", ["clt4", "clt2", "bm"])
 def test_hash_normals_statistics(dist):
     """Mean/variance/cross-draw and spatial-lag correlations of the hash
     stream (the FDT noise driver for temporally-blocked phases)."""
@@ -265,6 +265,32 @@ def test_eofc_matches_eof_and_pins_exact_mass():
     np.testing.assert_allclose(np.asarray(outs["eofc"][1]),
                                np.asarray(outs["eof"][1]),
                                rtol=0, atol=1e-6)
+
+
+def test_clt2_pair_moments():
+    """The CLT-2 byte-pair generator (two normals per word — the cheap
+    noise_dist="clt2" option): EXACT first/second moments, zero skew,
+    excess kurtosis -0.6, support +-2.44 sigma; lo/hi halves of one word
+    map to independent byte pairs."""
+    from bflbm_tpu.kernels.fused_step import _clt2_pair
+
+    # exhaustive over the low 16 bits: the lo normal's full distribution
+    w = np.arange(1 << 16, dtype=np.uint32)
+    lo, hi = _clt2_pair(jnp.asarray(w, jnp.uint32), jnp.float64)
+    lo, hi = np.asarray(lo, np.float64), np.asarray(hi, np.float64)
+    np.testing.assert_allclose(lo.mean(), 0.0, atol=1e-12)
+    np.testing.assert_allclose(lo.var(), 1.0, rtol=1e-12)
+    m4 = (lo ** 4).mean()
+    np.testing.assert_allclose(m4 - 3.0, -0.6, atol=2e-3)
+    assert np.isclose(np.abs(lo).max(), 255.0 / np.sqrt(65535.0 / 6.0),
+                      rtol=1e-9)
+    # hi half over this sweep is the zero pair -> constant minimum
+    np.testing.assert_allclose(hi, hi[0])
+    # hi extraction reads bytes 2,3: exhaustive over the high 16 bits
+    _, hi2 = _clt2_pair(jnp.asarray(w << 16, jnp.uint32), jnp.float64)
+    hi2 = np.asarray(hi2, np.float64)
+    np.testing.assert_allclose(hi2.var(), 1.0, rtol=1e-12)
+    np.testing.assert_allclose(np.sort(hi2), np.sort(lo), atol=1e-12)
 
 
 def test_clt4_normal_moments():

@@ -42,6 +42,35 @@ def test_sharded_step_matches_single_device(mesh_shape):
                                rtol=0, atol=1e-5)
 
 
+def test_sharded_hash_source_matches_single_device():
+    """noise_source='hash' (the RANDRAW draw_from_pdf_normal analog) is
+    keyed by global cell coordinates, so it stays decomposition-
+    invariant under GSPMD exactly like the threefry stream — notable
+    because RANDRAW was the REFERENCE's only decomposition-invariant
+    noise path (its default per-thread engines are not)."""
+    params = LBMParams(alpha0=0.0, kBT=1e-5)
+    shape = (16, 16, 16)
+    state = model.init_mixture(shape, params, dtype=jnp.float32)
+
+    sref = state
+    stepj = jax.jit(lambda s: model.step(s, params,
+                                         noise_source="hash")[0])
+    for _ in range(3):
+        sref = stepj(sref)
+
+    mesh = mesh_lib.make_mesh((1, 2, 4))
+    sharded = mesh_lib.shard_state(state, mesh)
+    step = jax.jit(lambda s: model.step(s, params, noise_source="hash")[0],
+                   out_shardings=mesh_lib.state_shardings(mesh))
+    for _ in range(3):
+        sharded = step(sharded)
+
+    np.testing.assert_allclose(np.asarray(sharded.f), np.asarray(sref.f),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sharded.g), np.asarray(sref.g),
+                               rtol=0, atol=1e-5)
+
+
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
 
