@@ -130,25 +130,29 @@ def main():
     from bflbm_tpu.utils.timing import fetch_scalar
 
     # Fallback ladder: a deterministic compile/run failure of the newest
-    # kernel variant must not zero the scored benchmark.  Try the default
-    # (factored "eof") transform, then the round-2-validated "eo", then
-    # the jnp path.  Hangs are handled by the watchdog parent, crashes
-    # here.
+    # kernel variant must not zero the scored benchmark.  Fastest
+    # validated config first: CLT-2 byte-pair normals (+5% on the
+    # hybrid-blocked fluctuating case, benchmarks/tpu_clt2_ab.py;
+    # S(k) equipartition + per-mode variance validated on HW —
+    # ACCEPTANCE.md B-kernel-clt2, tpu_verify noise_*_clt2), then the
+    # CLT-4 default, the round-2-validated "eo" transform, then jnp.
+    # Hangs are handled by the watchdog parent, crashes here.
     attempts = []
     if impl == "pallas":
-        attempts += [("pallas", None), ("pallas", "eo")]
+        attempts += [("pallas:clt2", {"noise_dist": "clt2"}),
+                     ("pallas", {}),
+                     ("pallas:eo", {"transform": "eo"})]
     attempts += [("jnp", None)]
 
     run_n = state_b = None
-    for impl_try, transform in attempts:
+    for label, kw in attempts:
         try:
             # fresh state per attempt: a failed donated execution may
             # have invalidated the previous buffer
             state = model.init_mixture(shape, params, dtype=jnp.float32)
-            if impl_try == "pallas":
+            if kw is not None:
                 from bflbm_tpu.kernels.fused_step import make_nsteps
 
-                kw = {} if transform is None else {"transform": transform}
                 run_n = make_nsteps(params, args.steps, **kw)
             else:
                 run_n = jax.jit(
@@ -156,10 +160,10 @@ def main():
                     donate_argnums=0)
             state_b = run_n(state)  # compile + warmup
             fetch_scalar(state_b)
-            impl = impl_try if transform is None else f"{impl_try}:{transform}"
+            impl = label
             break
         except Exception as e:  # noqa: BLE001 — deliberate ladder
-            print(f"[bench] {impl_try}/{transform or 'default'} failed: "
+            print(f"[bench] {label} failed: "
                   f"{type(e).__name__}: {e}", file=sys.stderr, flush=True)
             run_n = state_b = None
     if run_n is None:

@@ -72,13 +72,16 @@ def phase_b(args, kernel: bool = False):
                                                 out_dir=eq_dir,
                                                 plot_int=0, t_window=0)
             run_mod.run(cfg0)
+        suffix = f"-{args.noise_dist}" if args.noise_dist else ""
         cfg = cfg.replace(
             shape=shape,
             checkpoint_path=f"{eq_dir}/checkpoint0000500",
-            out_dir=f"{args.out}/mixture-fluct-kernel")
+            out_dir=f"{args.out}/mixture-fluct-kernel{suffix}")
         engine = "pallas"
+    kernel_opts = ({"noise_dist": args.noise_dist}
+                   if kernel and args.noise_dist else None)
     t0 = time.time()
-    state = run_mod.run(cfg, engine=engine)
+    state = run_mod.run(cfg, engine=engine, kernel_opts=kernel_opts)
     wall = time.time() - t0
 
     sf_files = sorted(glob.glob(os.path.join(cfg.out_dir, "structfact*")))
@@ -99,6 +102,8 @@ def phase_b(args, kernel: bool = False):
     out = {"phase": "B-kernel" if kernel else "B", "steps": steps,
            "wall_s": round(wall, 1),
            "sf_frames": int(window // 100)}
+    if kernel and args.noise_dist:
+        out["noise_dist"] = args.noise_dist
     worst = 0.0
     for p, name in enumerate(names):
         if name not in norm:
@@ -704,6 +709,9 @@ def main():
                     help="phase e domain edge (32: system_unit droplet; "
                     "64: the xdg_msd_calc data set)")
     ap.add_argument("--out", default="out/acceptance")
+    ap.add_argument("--noise-dist", default=None,
+                    help="kernel normal generator for b-kernel "
+                    "(clt4/clt2/bm; default = engine default)")
     args = ap.parse_args()
     # backend-up probe: the tunneled TPU intermittently hangs at init;
     # this line lets benchmarks/tpu_retry.py detect the hang and retry

@@ -414,7 +414,13 @@ def throughput(fast):
              # pinned in tests/test_fused_kernel.py; VMEM fits: ext
              # block ~35 MB at 256^3 with bx=16)
              ("determ_b3", dict(alpha0=0.0, kBT=0.0), dict(block=3)),
-             ("fluct_b3", dict(alpha0=0.0, kBT=1e-5), dict(block=3))]
+             ("fluct_b3", dict(alpha0=0.0, kBT=1e-5), dict(block=3)),
+             # CLT-2 byte-pair normals (the bench-scored generator;
+             # validated: ACCEPTANCE B-kernel-clt2 + noise_*_clt2)
+             ("fluct_b2_clt2", dict(alpha0=0.0, kBT=1e-5),
+              dict(block=2, noise_dist="clt2")),
+             ("coupled_clt2", dict(alpha0=1.5, kBT=1e-5),
+              dict(noise_dist="clt2"))]
     if fast:
         cases = cases[:2]
     for name, pkw, nkw in cases:
