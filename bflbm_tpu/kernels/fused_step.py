@@ -331,14 +331,19 @@ def _inverse_perm(p):
 
 
 def _choose_tile(shape: Tuple[int, int, int],
-                 block: int = 1, noise_on: bool = True
-                 ) -> Tuple[int, int]:
+                 block: int = 1, noise_on: bool = True,
+                 use_ref: bool = False) -> Tuple[int, int]:
     """Pick (BX, BY) dividing (X, Y); z is always whole.
 
     The y-sweep load path (see _step_kernel) wants BY a multiple of
     _PY == 8 so the sliding fresh load is a single aligned fragment; BX
     is then sized to amortize the 2*block-deep x halo within the VMEM
-    budget."""
+    budget.  use_ref: the COM-rolled (rho_eq, phi_eq) stack rides the
+    DMA pipeline as a third operand — tighter budget: the (16,16)
+    use_ref hybrid kernel at Z=256 measured 0.45% OVER the ~127 MB
+    scoped-vmem limit on the 2026-08-18 platform compiler (it fit on
+    earlier windows; the margin was razor-thin either way), so one bx
+    step down buys ~2x headroom on a gated audit path."""
     X, Y, Z = shape
     px = 2 * block
 
@@ -357,8 +362,11 @@ def _choose_tile(shape: Tuple[int, int, int],
     by = 2 * _PY if Y % (2 * _PY) == 0 and Y // (2 * _PY) >= 2 \
         else (_PY if Y % _PY == 0 and Y // _PY >= 2 else best(Y, 32))
     bx = best(X, 8 if (block >= 2 and not noise_on) else 16)
-    # Budget: ext block 2*19*(BX+2*px)*(BY+16)*Z*4 bytes (x2 slots) <= 40 MB
-    while 2 * Q * (bx + 2 * px) * (by + 2 * _PY) * Z * 4 > 40 * 2 ** 20 \
+    # Budget: ext block 2*19*(BX+2*px)*(BY+16)*Z*4 bytes (x2 slots) <=
+    # 40 MB (30 MB with the ref operand's extra channels + headroom)
+    chan = 2 * Q + (2 if use_ref else 0)
+    budget = (28 if use_ref else 40) * 2 ** 20
+    while chan * (bx + 2 * px) * (by + 2 * _PY) * Z * 4 > budget \
             and bx > 1:
         bx = best(X, bx // 2)
         if bx <= 1:
@@ -1400,7 +1408,8 @@ def fused_stream_collide(state: SimState, params: LBMParams,
     USE_REF_STATE amplitude source, held fixed for the `block` steps.
     """
     shape = tuple(state.f.shape[1:])
-    tile = tile or _choose_tile(shape, block, params.noise_on)
+    tile = tile or _choose_tile(shape, block, params.noise_on,
+                                use_ref=ref is not None)
     # advance the key once per physical step — and draw one word per
     # step from the per-step splits — so BOTH the key trajectory and the
     # hash noise stream are identical across engines and block sizes
@@ -1511,7 +1520,8 @@ def make_nsteps(params: LBMParams, n: int, tile=None, force: bool = False,
 
     def fused_body(s: SimState, shape, ref2=None) -> SimState:
         T = pick_block(shape)
-        tl = tile or _choose_tile(shape, T, params.noise_on)
+        tl = tile or _choose_tile(shape, T, params.noise_on,
+                                  use_ref=ref2 is not None)
         # enter post-collide space: one jnp prelude+collide
         ref_st = None if ref2 is None else (ref2[0], ref2[1], None)
         h, xi_f, xi_g, key = model.prelude(s, params, ref_st)
