@@ -1485,7 +1485,7 @@ def make_nsteps(params: LBMParams, n: int, tile=None, force: bool = False,
         out, _ = jax.lax.scan(body, state, None, length=n)
         return out
 
-    def pick_block(shape):
+    def pick_block(shape, with_ref=False):
         if block is not None:
             return block
         if n - 1 < 2:
@@ -1508,10 +1508,13 @@ def make_nsteps(params: LBMParams, n: int, tile=None, force: bool = False,
             # whose 8-2*2 interior falls below the 8-wide HW-PRNG
             # minimum and would silently degrade every non-final phase
             # to the measured-slower all-hash blocked path)
+            # (with_ref: the ref operand's tighter VMEM budget can
+            # shrink bx to 8 at Z=256, killing the hybrid interior —
+            # then b1 at the wider tile beats all-hash b2)
             if tile is not None:
                 bx, by = tile
             else:
-                bx, by = _choose_tile(shape, 2, True)
+                bx, by = _choose_tile(shape, 2, True, use_ref=with_ref)
             hybrid_ok = (noise_impl == "hw"
                          and noise_dist in ("clt4", "clt2")
                          and bx >= 12 and by >= 12)
@@ -1519,7 +1522,7 @@ def make_nsteps(params: LBMParams, n: int, tile=None, force: bool = False,
         return 2 if shape[0] >= 4 else 1
 
     def fused_body(s: SimState, shape, ref2=None) -> SimState:
-        T = pick_block(shape)
+        T = pick_block(shape, with_ref=ref2 is not None)
         tl = tile or _choose_tile(shape, T, params.noise_on,
                                   use_ref=ref2 is not None)
         # enter post-collide space: one jnp prelude+collide
