@@ -93,14 +93,14 @@ from bflbm_tpu.utils.timing import time_steps  # noqa: E402
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--shape", type=int, nargs=3, default=None)
-    # 500-step chunks: each device execution pays one jnp entry/exit
-    # conversion of the post-collide state (~130 ms at 256^3); production
-    # runs chunk at O(100-1000) steps (RunConfig.chunk_cap=1000, the
-    # acceptance S(k) runs chunk at 100), so the old 50-step chunks
-    # OVERSTATED that overhead 10x (2026-08-19 ladder on one window:
-    # 978.7 @ 50, 1158.8 @ 200, 1202.6 @ 500 MLUPS; ~7 s per device
-    # call at 500, well under the tunnel RPC kill threshold)
-    ap.add_argument("--steps", type=int, default=500)
+    # 1000-step chunks = RunConfig.chunk_cap, the production maximum:
+    # each device execution pays one jnp entry/exit conversion of the
+    # post-collide state (~130 ms at 256^3), so the old 50-step chunks
+    # OVERSTATED that overhead 20x.  2026-08-19 ladder on one window:
+    # 978.7 @ 50, 1158.8 @ 200, 1202.6 @ 500, 1217.9 @ 1000 MLUPS;
+    # ~14 s per device call at 1000, well under the tunnel RPC kill
+    # threshold (which kills multi-minute calls).
+    ap.add_argument("--steps", type=int, default=1000)
     ap.add_argument("--kBT", type=float, default=1e-5)
     ap.add_argument("--alpha0", type=float, default=0.0)
     ap.add_argument("--repeats", type=int, default=3)
