@@ -160,7 +160,12 @@ def make_kernel_nsteps(mesh: Mesh, params: LBMParams, n: int,
         if (want_x and not sx) or (want_y and not sy):
             sx = sy = False
         split = sx or sy
-        tl = tile or _choose_tile(shape_loc, T, params.noise_on)
+        # use_ref tightens the VMEM budget (the ref stack is a third
+        # streamed operand) — must thread through or large local shards
+        # can exceed the ~127 MB scoped-VMEM limit (the exact compile
+        # failure _choose_tile's 28 MB use_ref budget exists to avoid)
+        tl = tile or _choose_tile(shape_loc, T, params.noise_on,
+                                  use_ref=use_ref)
 
         def call(shape_c, tl_c, seed, fi, gi, ri=None):
             return _fused_step_call(
@@ -172,7 +177,8 @@ def make_kernel_nsteps(mesh: Mesh, params: LBMParams, n: int,
         def pick(shape_c):
             if interpret:        # single-tile grids only (CLAUDE.md)
                 return (shape_c[0], shape_c[1])
-            return _choose_tile(shape_c, T, params.noise_on)
+            return _choose_tile(shape_c, T, params.noise_on,
+                                use_ref=use_ref)
 
         def local_sweep(f_loc, g_loc, words, step0, *maybe_ref):
             r_loc = maybe_ref[0] if maybe_ref else None

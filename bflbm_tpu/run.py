@@ -52,8 +52,13 @@ def _pick_chunk(events, nsteps: int, cap: int) -> int:
     otherwise become one multi-minute device call — which the tunneled
     backend's RPC layer kills ("TPU worker crashed") and which starves
     the NaN sentinel.  The cap keeps every event on a chunk boundary by
-    taking the largest divisor of the gcd <= cap (cap 0 = uncapped)."""
-    chunk = events[0] if events else nsteps
+    taking the largest divisor of the gcd <= cap (cap 0 = uncapped).
+    With no events there is no boundary-alignment constraint (the run
+    loop handles a remainder chunk), so return min(nsteps, cap) rather
+    than a divisor — a prime nsteps must not degrade the chunk to 1."""
+    if not events:
+        return min(nsteps, cap) if cap else nsteps
+    chunk = events[0]
     for v in events[1:]:
         chunk = math.gcd(chunk, v)
     chunk = max(1, min(chunk, nsteps))
@@ -115,11 +120,18 @@ def run(cfg: RunConfig, *, mesh=None, engine: str = "auto",
     # = the per-cell coordinate-keyed stream (RANDRAW analog) — jnp
     # engine only; kernel engines select streams via noise_impl.
     nsrc = dict(noise_source=cfg.noise_source, noise_dist=cfg.noise_dist)
-    if cfg.noise_source != "threefry" and engine != "jnp":
-        raise ValueError(
-            f"noise_source={cfg.noise_source!r} selects the jnp engine's "
-            "stream; use engine='jnp' (kernel engines select their "
-            "streams via kernel_opts noise_impl/noise_dist)")
+    if cfg.noise_source != "threefry":
+        if engine == "auto":
+            # a non-default noise_source IS a jnp-engine selection:
+            # resolve auto to jnp rather than forcing callers to spell
+            # engine='jnp' themselves
+            engine = "jnp"
+        elif engine != "jnp":
+            raise ValueError(
+                f"noise_source={cfg.noise_source!r} selects the jnp "
+                "engine's stream; use engine='jnp' or 'auto' (kernel "
+                "engines select their streams via kernel_opts "
+                "noise_impl/noise_dist)")
     step_plain = jax.jit(lambda s: model.step(s, p, ref_state, **nsrc)[0],
                          donate_argnums=0)
     hydro_only = jax.jit(

@@ -182,6 +182,10 @@ def test_run_noise_source_hash():
         for _ in range(6):
             thr, _ = model.step(thr, cfg.params)
         assert not np.array_equal(np.asarray(out.f), np.asarray(thr.f))
+        # engine='auto' resolves to jnp under a non-default noise_source
+        # (advisor r3): identical trajectory, no error
+        auto = run_mod.run(cfg.replace(out_dir=d + "/auto"), engine="auto")
+        np.testing.assert_array_equal(np.asarray(auto.f), np.asarray(out.f))
         with pytest.raises(ValueError, match="noise_source"):
             run_mod.run(cfg, engine="pallas")
 
@@ -195,9 +199,11 @@ def test_pick_chunk_caps_sparse_cadences():
     assert _pick_chunk([5000], 100_000, 900) == 625
     # gcd semantics unchanged below the cap
     assert _pick_chunk([2000, 100], 600_000, 1000) == 100
-    # no events: nsteps, capped
+    # no events: nsteps, capped — even when nsteps is prime (advisor
+    # r3: the divisor rule must not degrade an event-free chunk to 1)
     assert _pick_chunk([], 100_000, 1000) == 1000
     assert _pick_chunk([], 50, 1000) == 50
+    assert _pick_chunk([], 100_003, 1000) == 1000
     # uncapped (cap=0) keeps the old behavior
     assert _pick_chunk([5000], 100_000, 0) == 5000
     # prime cadence above the cap degrades to 1 (correct, warned slow)
