@@ -287,6 +287,50 @@ def cmd_convergence(args) -> Dict:
             "mean_l1": float(np.abs(mean).mean())}
 
 
+def cmd_radius(args) -> Dict:
+    """Online droplet-radius series from metrics.jsonl — the consumer
+    of RunConfig.droplet_int's in-loop fits (the reference appends
+    radius_steps_out every plot_int inside the step loop,
+    main_run_job.cpp:353-378, then reads the series back offline)."""
+    path = os.path.join(args.dir, "metrics.jsonl")
+    steps, r_fit, w_fit, r_mass = [], [], [], []
+    with open(path) as fh:
+        for line in fh:
+            rec = json.loads(line)
+            if "droplet_R_mass" not in rec:
+                continue
+            steps.append(rec["step"])
+            r_mass.append(rec["droplet_R_mass"])
+            r_fit.append(rec.get("droplet_R"))
+            w_fit.append(rec.get("droplet_W"))
+    if not steps:
+        raise SystemExit(
+            f"{path}: no droplet records — run with droplet_int > 0")
+    rs = np.asarray([r for r in r_fit if r is not None], float)
+    out = {
+        "n_records": len(steps),
+        "step_first": steps[0], "step_last": steps[-1],
+        "R_mass_last": r_mass[-1],
+        "n_fit_converged": int(rs.size),
+    }
+    if rs.size:
+        half = rs[rs.size // 2:]
+        out.update({
+            "R_last": float(rs[-1]),
+            "W_last": float([w for w in w_fit if w is not None][-1]),
+            "R_mean_tail": float(half.mean()),
+            "R_std_tail": float(half.std()),
+            # convergence diagnostic: relative radius drift over the
+            # trailing half of the series (0 when equilibrated)
+            "R_drift_tail": float((half[-1] - half[0])
+                                  / max(abs(half.mean()), 1e-30)),
+        })
+    if args.series:
+        out["series"] = {"step": steps, "R": r_fit, "W": w_fit,
+                         "R_mass": r_mass}
+    return out
+
+
 def cmd_theory(args) -> Dict:
     """Free-energy theory numbers (surface_tension_predict.ipynb)."""
     lo, hi = free_energy.binodal_densities(args.rho_t, args.alpha0)
@@ -323,6 +367,9 @@ def main(argv=None):
     p.add_argument("--comp", default="rho")
     p.add_argument("--window", type=int, default=0,
                    help="use only the last N frames")
+    p = sub.add_parser("radius"); common(p)
+    p.add_argument("--series", action="store_true",
+                   help="include the full (step, R, W, R_mass) series")
     p = sub.add_parser("theory")
     p.add_argument("--alpha0", type=float, default=1.5)
     p.add_argument("--rho-t", dest="rho_t", type=float, default=3.1)
@@ -330,7 +377,8 @@ def main(argv=None):
     args = ap.parse_args(argv)
     fn = {"sk": cmd_sk, "interface": cmd_interface, "droplet": cmd_droplet,
           "laplace": cmd_laplace, "msd": cmd_msd, "noise": cmd_noise,
-          "convergence": cmd_convergence, "theory": cmd_theory}
+          "convergence": cmd_convergence, "theory": cmd_theory,
+          "radius": cmd_radius}
     print(json.dumps(fn[args.cmd](args), indent=2, default=float))
 
 

@@ -131,6 +131,13 @@ class RunConfig:
     #                            cell): reconstructible + mesh-invariant)
     noise_dist: str = "clt4"   # normal generator for noise_source="hash"
     #                            ("clt4" byte-sum / "bm" Box-Muller)
+    droplet_int: int = 0       # online droplet-radius fit every N steps,
+    #                            logged to metrics.jsonl (the reference
+    #                            fits the droplet inside the step loop
+    #                            and appends radius_steps_out every
+    #                            plot_int, main_run_job.cpp:353-378 +
+    #                            Debug.H:360-378; 0 = off).  Consumed by
+    #                            `analysis.py radius`.
     chunk_cap: int = 1000      # max steps per device execution.  Sparse
     #                            event cadences (e.g. print_int=5000 as
     #                            the only event) would otherwise become
@@ -204,7 +211,7 @@ _register(
         shape=(32, 32, 32),
         params=LBMParams(alpha0=1.5, kBT=0.0, kappa=0.1,
                          rho_lo=0.0, rho_hi=3.0),
-        nsteps=20_000, plot_int=100, t_window=1000,
+        nsteps=20_000, plot_int=100, t_window=1000, droplet_int=100,
         init="droplet", init_radius=0.2,
     ),
 )
@@ -214,7 +221,8 @@ _register(
         shape=(32, 32, 32),
         params=LBMParams(alpha0=1.5, kBT=1e-5, kappa=0.1,
                          rho_lo=0.0, rho_hi=3.0),
-        nsteps=600_000, step_continue=20_000, plot_int=500, init="checkpoint",
+        nsteps=600_000, step_continue=20_000, plot_int=500, droplet_int=500,
+        init="checkpoint",
     ),
 )
 _register(
@@ -223,7 +231,7 @@ _register(
         shape=(64, 64, 64),
         params=LBMParams(alpha0=1.5, kBT=0.0, kappa=0.1,
                          rho_lo=0.0, rho_hi=3.0),
-        nsteps=50_000, plot_int=200, t_window=10_000,
+        nsteps=50_000, plot_int=200, t_window=10_000, droplet_int=200,
         init="droplet", init_radius=0.2,
     ),
 )
@@ -234,7 +242,7 @@ _register(
         shape=(32, 32, 32),
         params=LBMParams(alpha0=0.8, kBT=0.0, kappa=0.1,
                          rho_lo=0.0, rho_hi=3.0),
-        nsteps=20_000, plot_int=100, t_window=1000,
+        nsteps=20_000, plot_int=100, t_window=1000, droplet_int=100,
         init="droplet", init_radius=0.4,
     ),
 )
@@ -244,7 +252,7 @@ _register(
         shape=(32, 32, 32),
         params=LBMParams(alpha0=1.7, kBT=0.0, kappa=0.1,
                          rho_lo=0.0, rho_hi=3.0),
-        nsteps=20_000, plot_int=100, t_window=1000,
+        nsteps=20_000, plot_int=100, t_window=1000, droplet_int=100,
         init="droplet", init_radius=0.2,
     ),
 )
@@ -254,7 +262,7 @@ _register(
         shape=(32, 32, 32),
         params=LBMParams(alpha0=2.5, kBT=0.0, kappa=0.1,
                          rho_lo=0.0, rho_hi=2.0),
-        nsteps=20_000, plot_int=100, t_window=1000,
+        nsteps=20_000, plot_int=100, t_window=1000, droplet_int=100,
         init="droplet", init_radius=0.25,
     ),
 )
@@ -264,7 +272,7 @@ _register(
         shape=(32, 32, 32),
         params=LBMParams(alpha0=4.0, kBT=0.0, kappa=0.001,
                          rho_lo=0.0, rho_hi=1.0),
-        nsteps=20_000, plot_int=100, t_window=1000,
+        nsteps=20_000, plot_int=100, t_window=1000, droplet_int=100,
         init="droplet", init_radius=0.5,
     ),
 )
@@ -283,7 +291,7 @@ _register(
         shape=(64, 64, 64),
         params=LBMParams(alpha0=4.0, kBT=5e-5, kappa=0.001,
                          rho_lo=0.0, rho_hi=1.0),
-        nsteps=1_000_000, step_continue=20_000, plot_int=100,
+        nsteps=1_000_000, step_continue=20_000, plot_int=100, droplet_int=100,
         init="checkpoint",
     ),
 )

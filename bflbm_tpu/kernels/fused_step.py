@@ -1429,6 +1429,91 @@ def fused_stream_collide(state: SimState, params: LBMParams,
     return SimState(f=fo, g=go, key=key, step=state.step + block)
 
 
+def _auto_block(params: LBMParams, shape, n_k: int, tile, block,
+                noise_impl: str, noise_dist: str, with_ref: bool) -> int:
+    """Temporal-blocking depth for a run of n_k K-steps (None = auto).
+
+    Temporal blocking halves HBM traffic but adds overlap compute.
+    Measured on v5e 256^3 (benchmarks/tpu_perf_r3.py): the
+    seam-only-hash "hybrid" noise (see _step_kernel.gen_normals) makes
+    blocking pay in the fluctuating uncoupled case too — b2 (16,16)
+    hybrid 868 MLUPS vs the best b1 852 — provided the tile affords a
+    >= 8-wide hardware-PRNG interior (bx, by >= 12, i.e. 16-divisible
+    extents) and the noise path is hw+clt4/clt2.  All-hash b2 (794) and
+    the coupled force path (b1 (16,16) = 781 wins) stay at block 1."""
+    if block is not None:
+        return block
+    if n_k < 2:
+        return 1
+    if params.alpha0 != 0.0:
+        return 1
+    if params.noise_on:
+        # consult the tile the chooser would ACTUALLY return at
+        # block=2 (the VMEM budget can shrink bx below what the
+        # shape's divisibility suggests, e.g. (256,256,512) -> bx=8,
+        # whose 8-2*2 interior falls below the 8-wide HW-PRNG
+        # minimum and would silently degrade every non-final phase
+        # to the measured-slower all-hash blocked path; with_ref:
+        # the ref operand's tighter VMEM budget can do the same)
+        if tile is not None:
+            bx, by = tile
+        else:
+            bx, by = _choose_tile(shape, 2, True, use_ref=with_ref)
+        hybrid_ok = (noise_impl == "hw"
+                     and noise_dist in ("clt4", "clt2")
+                     and bx >= 12 and by >= 12)
+        return 2 if hybrid_ok else 1
+    return 2 if shape[0] >= 4 else 1
+
+
+def make_ksteps(params: LBMParams, shape, n: int, tile=None,
+                mode: str = "auto", transform: str = None,
+                block=None, noise_impl: str = "hw",
+                noise_dist: str = "clt4", use_ref: bool = False):
+    """n K = collide∘stream updates in POST-COLLIDE space, kernel frame.
+
+    The building block of the persistent-state session path
+    (:mod:`bflbm_tpu.kernels.session`): unlike :func:`make_nsteps` it
+    performs NO entry/exit conversion — the caller owns a post-collide
+    SimState (convention: a state labeled ``step == k`` streams to the
+    standard post-stream state of step k) and advances it n K-steps per
+    call, paying the ~130 ms jnp prelude/collide/stream boundary only
+    when an observable actually needs a post-stream view.  This is what
+    lets production-cadence chunking (~100 steps, the physics
+    campaigns' S(k)/frame cadence) run at the 1000-step-chunk benchmark
+    rate (VERDICT r3 §weak-1; the reference's uniform per-step hot
+    loop, LBM_binary.H:545-594, never pays a space conversion at all).
+
+    `shape` must be kernel-tileable (``supports_shape``) or single-tile
+    forced via `tile`; axis permutation is the caller's job.  Returns an
+    UNJITTED fn(s [, ref2]) -> s (n == 0 gives the identity) suitable
+    for wrapping in the caller's jit.  ref2: optional (2, X, Y, Z)
+    COM-rolled (rho_eq, phi_eq) stack held fixed for the n steps
+    (USE_REF_STATE)."""
+    if transform is None:
+        transform = _DEFAULT_TRANSFORM
+    T = _auto_block(params, shape, n, tile, block, noise_impl,
+                    noise_dist, use_ref)
+    T = max(1, min(T, n)) if n else 1
+    tl = tile or _choose_tile(shape, T, params.noise_on, use_ref=use_ref)
+    n_blocked, n_rest = divmod(n, T) if n else (0, 0)
+
+    def run_k(s: SimState, ref2=None) -> SimState:
+        if n_blocked:
+            def body(st, _):
+                return fused_stream_collide(st, params, tl, mode,
+                                            transform, T, noise_impl,
+                                            noise_dist, ref=ref2), None
+
+            s, _ = jax.lax.scan(body, s, None, length=n_blocked)
+        for _ in range(n_rest):
+            s = fused_stream_collide(s, params, tl, mode, transform, 1,
+                                     noise_impl, noise_dist, ref=ref2)
+        return s
+
+    return run_k
+
+
 def make_nsteps(params: LBMParams, n: int, tile=None, force: bool = False,
                 mode: str = "auto", transform: str = _DEFAULT_TRANSFORM,
                 perm=None, block=None, noise_impl: str = "hw",
@@ -1485,66 +1570,18 @@ def make_nsteps(params: LBMParams, n: int, tile=None, force: bool = False,
         out, _ = jax.lax.scan(body, state, None, length=n)
         return out
 
-    def pick_block(shape, with_ref=False):
-        if block is not None:
-            return block
-        if n - 1 < 2:
-            return 1
-        # temporal blocking halves HBM traffic but adds overlap compute.
-        # Measured on v5e 256^3 (benchmarks/tpu_perf_r3.py): the
-        # seam-only-hash "hybrid" noise (see _step_kernel.gen_normals)
-        # makes blocking pay in the fluctuating uncoupled case too —
-        # b2 (16,16) hybrid 868 MLUPS vs the best b1 852 — provided the
-        # tile affords a >= 8-wide hardware-PRNG interior (bx, by >= 12,
-        # i.e. 16-divisible extents) and the noise path is hw+clt4.
-        # All-hash b2 (794) and the coupled force path (b2 fails VMEM at
-        # the hybrid tile; b1 (16,16) = 781 wins) stay at block 1.
-        if params.alpha0 != 0.0:
-            return 1
-        if params.noise_on:
-            # consult the tile the chooser would ACTUALLY return at
-            # block=2 (the VMEM budget can shrink bx below what the
-            # shape's divisibility suggests, e.g. (256,256,512) -> bx=8,
-            # whose 8-2*2 interior falls below the 8-wide HW-PRNG
-            # minimum and would silently degrade every non-final phase
-            # to the measured-slower all-hash blocked path)
-            # (with_ref: the ref operand's tighter VMEM budget can
-            # shrink bx to 8 at Z=256, killing the hybrid interior —
-            # then b1 at the wider tile beats all-hash b2)
-            if tile is not None:
-                bx, by = tile
-            else:
-                bx, by = _choose_tile(shape, 2, True, use_ref=with_ref)
-            hybrid_ok = (noise_impl == "hw"
-                         and noise_dist in ("clt4", "clt2")
-                         and bx >= 12 and by >= 12)
-            return 2 if hybrid_ok else 1
-        return 2 if shape[0] >= 4 else 1
-
     def fused_body(s: SimState, shape, ref2=None) -> SimState:
-        T = pick_block(shape, with_ref=ref2 is not None)
-        tl = tile or _choose_tile(shape, T, params.noise_on,
-                                  use_ref=ref2 is not None)
         # enter post-collide space: one jnp prelude+collide
         ref_st = None if ref2 is None else (ref2[0], ref2[1], None)
         h, xi_f, xi_g, key = model.prelude(s, params, ref_st)
         f1, g1 = collide_ops.collide(s.f, s.g, h, xi_f, xi_g, params)
         s = SimState(f=f1, g=g1, key=key, step=s.step + 1)
 
-        n_k = n - 1  # kernel K-steps
-        n_blocked, n_rest = divmod(n_k, T)
-
-        if n_blocked:
-            def body(s, _):
-                return fused_stream_collide(s, params, tl, mode,
-                                            transform, T,
-                                            noise_impl, noise_dist,
-                                            ref=ref2), None
-
-            s, _ = jax.lax.scan(body, s, None, length=n_blocked)
-        for _ in range(n_rest):
-            s = fused_stream_collide(s, params, tl, mode, transform, 1,
-                                     noise_impl, noise_dist, ref=ref2)
+        kfn = make_ksteps(params, shape, n - 1, tile=tile, mode=mode,
+                          transform=transform, block=block,
+                          noise_impl=noise_impl, noise_dist=noise_dist,
+                          use_ref=ref2 is not None)
+        s = kfn(s, ref2)
         # exit: stream the last post-collide state
         return SimState(f=stream_ops.stream(s.f), g=stream_ops.stream(s.g),
                         key=s.key, step=s.step)

@@ -72,12 +72,41 @@ def supports(mesh: Mesh, shape, block: int = 2) -> bool:
     this mesh (z unsharded, kernel-tileable local blocks, and local
     extents deep enough for the 2*block x halo / _PY y halo the
     ppermute exchange appends)."""
-    try:
-        loc = local_shape(mesh, shape)
-    except ValueError:
+    sizes = tuple(mesh.shape[a] for a in mesh_lib.SPATIAL_AXES)
+    return _supports_sizes(sizes, tuple(shape), block)
+
+
+def _supports_sizes(sizes, shape, block: int) -> bool:
+    if any(s % m for s, m in zip(shape, sizes)):
         return False
-    return (mesh.shape["z"] == 1 and supports_shape(loc)
+    loc = tuple(s // m for s, m in zip(shape, sizes))
+    return (sizes[2] == 1 and supports_shape(loc)
             and loc[0] >= 2 * block and loc[1] >= _PY)
+
+
+def mesh_axis_perm(mesh: Mesh, shape, block: int = 2):
+    """Spatial permutation p putting (mesh, domain) on the kernel fast
+    path (permuted mesh axis k shards old axis p[k]), or None.
+
+    The reference decomposes ANY axis at one speed (BoxArray.maxSize,
+    main_run_job.cpp:140-143); the fused kernel needs z unsharded and
+    8/128-aligned local y/z extents, so e.g. a ``--mesh 1 1 8``
+    z-slab layout runs as an x-slab layout in the permuted lattice
+    frame (D3Q19+MRT+FDT is exactly permutation-equivariant — see
+    fused_step.axis_perm_for_shape).  Identity is preferred; ties break
+    toward the largest lane (z) extent."""
+    shape = tuple(shape)
+    sizes = tuple(mesh.shape[a] for a in mesh_lib.SPATIAL_AXES)
+    if _supports_sizes(sizes, shape, block):
+        return (0, 1, 2)
+    best = None
+    for p in ((0, 2, 1), (1, 0, 2), (2, 0, 1), (1, 2, 0), (2, 1, 0)):
+        sp = tuple(shape[a] for a in p)
+        mp = tuple(sizes[a] for a in p)
+        if _supports_sizes(mp, sp, block):
+            if best is None or sp[2] > tuple(shape[a] for a in best)[2]:
+                best = p
+    return best
 
 
 def make_kernel_nsteps(mesh: Mesh, params: LBMParams, n: int,
@@ -122,8 +151,65 @@ def make_kernel_nsteps(mesh: Mesh, params: LBMParams, n: int,
     if mesh.shape["z"] != 1:
         raise ValueError(
             "the fused-kernel shard_map path needs z unsharded (full-Z "
-            "tiles with in-register z wrap); use engine='halo' for "
-            "z-sharded meshes")
+            "tiles with in-register z wrap); use a kernel session "
+            "(kernels.session, which permutes the mesh) or "
+            "engine='halo' for z-sharded meshes")
+    advance = _make_advance(mesh, params, block, tile, mode, transform,
+                            noise_impl, noise_dist, interpret, overlap,
+                            use_ref)
+
+    def run(state: SimState, ref2=None) -> SimState:
+        # enter post-collide space (jnp prelude + collide, GSPMD-sharded)
+        ref_st = None if ref2 is None else (ref2[0], ref2[1], None)
+        h, xi_f, xi_g, key = model.prelude(state, params, ref_st)
+        f1, g1 = collide_ops.collide(state.f, state.g, h, xi_f, xi_g,
+                                     params)
+        pc = SimState(f=f1, g=g1, key=key, step=state.step + 1)
+        pc = advance(pc, ref2, n - 1)
+        return SimState(f=stream_ops.stream(pc.f),
+                        g=stream_ops.stream(pc.g),
+                        key=pc.key, step=pc.step)
+
+    sh = mesh_lib.state_shardings(mesh)
+    if use_ref:
+        ref_sh = jax.sharding.NamedSharding(
+            mesh, P(None, *mesh_lib.SPATIAL_AXES))
+        return jax.jit(run, in_shardings=(sh, ref_sh), out_shardings=sh,
+                       donate_argnums=(0,) if donate else ())
+
+    def run_noref(state: SimState) -> SimState:
+        return run(state)
+
+    return jax.jit(run_noref, in_shardings=(sh,), out_shardings=sh,
+                   donate_argnums=(0,) if donate else ())
+
+
+def make_kernel_ksteps(mesh: Mesh, params: LBMParams, n: int,
+                       block: int = 2, tile=None, mode: str = "auto",
+                       transform: str = _DEFAULT_TRANSFORM,
+                       noise_impl: str = "hw", noise_dist: str = "clt4",
+                       interpret: bool = False, overlap="auto",
+                       use_ref: bool = False):
+    """n K = collide∘stream steps in POST-COLLIDE space (no jnp
+    entry/exit) — the sharded building block of the persistent-session
+    path (:mod:`bflbm_tpu.kernels.session`).  Returns an UNJITTED
+    fn(pc [, ref2]) -> pc; the session jits it with the mesh
+    shardings.  See fused_step.make_ksteps for the state convention."""
+    advance = _make_advance(mesh, params, block, tile, mode, transform,
+                            noise_impl, noise_dist, interpret, overlap,
+                            use_ref)
+
+    def run_k(pc: SimState, ref2=None) -> SimState:
+        return advance(pc, ref2, n)
+
+    return run_k
+
+
+def _make_advance(mesh: Mesh, params: LBMParams, block, tile, mode,
+                  transform, noise_impl, noise_dist, interpret, overlap,
+                  use_ref):
+    """Shared sweep machinery: traced fn(pc, ref2, n_k) advancing a
+    post-collide SimState n_k K-steps via shard_map kernel sweeps."""
     names = mesh_lib.SPATIAL_AXES
     pspec = P(None, *names)
 
@@ -268,27 +354,20 @@ def make_kernel_nsteps(mesh: Mesh, params: LBMParams, n: int,
             check_vma=False,
         )
 
-    def run(state: SimState, ref2=None) -> SimState:
+    def advance(state: SimState, ref2, n_k: int) -> SimState:
         gshape = tuple(state.f.shape[1:])
         shape_loc = local_shape(mesh, gshape)
         if not supports_shape(shape_loc):
             raise ValueError(
                 f"local block {shape_loc} not kernel-tileable "
                 "(need Z % 128 == 0, Y_local % 8 == 0)")
-        if shape_loc[0] < 2 * max(1, min(block, n - 1)) \
+        if shape_loc[0] < 2 * max(1, min(block, n_k)) \
                 or shape_loc[1] < _PY:
             raise ValueError(
                 f"local block {shape_loc} too shallow for the halo "
                 f"exchange (need X_local >= {2 * block}, "
                 f"Y_local >= {_PY}); use a coarser mesh or block=1")
 
-        # enter post-collide space (jnp prelude + collide, GSPMD-sharded)
-        ref_st = None if ref2 is None else (ref2[0], ref2[1], None)
-        h, xi_f, xi_g, key = model.prelude(state, params, ref_st)
-        f1, g1 = collide_ops.collide(state.f, state.g, h, xi_f, xi_g,
-                                     params)
-
-        n_k = n - 1
         T = max(1, min(block, n_k)) if n_k else 1
         n_blocked, n_rest = divmod(n_k, T) if n_k else (0, 0)
 
@@ -311,7 +390,7 @@ def make_kernel_nsteps(mesh: Mesh, params: LBMParams, n: int,
                 return (f, g, k, step + T_), None
             return body
 
-        carry = (f1, g1, key, state.step + 1)
+        carry = (state.f, state.g, state.key, state.step)
         if n_blocked:
             sweep_sm = make_sweep(T, shape_loc, gshape)
             carry, _ = jax.lax.scan(make_body(sweep_sm, T), carry, None,
@@ -322,17 +401,6 @@ def make_kernel_nsteps(mesh: Mesh, params: LBMParams, n: int,
             for _ in range(n_rest):
                 carry, _ = body1(carry, None)
         f, g, key, step = carry
-        return SimState(f=stream_ops.stream(f), g=stream_ops.stream(g),
-                        key=key, step=step)
+        return SimState(f=f, g=g, key=key, step=step)
 
-    sh = mesh_lib.state_shardings(mesh)
-    if use_ref:
-        ref_sh = jax.sharding.NamedSharding(mesh, pspec)
-        return jax.jit(run, in_shardings=(sh, ref_sh), out_shardings=sh,
-                       donate_argnums=(0,) if donate else ())
-
-    def run_noref(state: SimState) -> SimState:
-        return run(state)
-
-    return jax.jit(run_noref, in_shardings=(sh,), out_shardings=sh,
-                   donate_argnums=(0,) if donate else ())
+    return advance

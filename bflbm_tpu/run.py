@@ -144,112 +144,84 @@ def run(cfg: RunConfig, *, mesh=None, engine: str = "auto",
     # steps at once through the selected engine (fused Pallas kernel on
     # TPU where the shape supports it; jnp scan otherwise).
     events = [v for v in (cfg.plot_int, cfg.print_int, cfg.out_noise_int,
+                          cfg.droplet_int,
                           cfg.sf_every if (p.noise_on and cfg.sf_window)
                           else 0) if v]
     chunk = _pick_chunk(events, cfg.nsteps, cfg.chunk_cap)
-    # warn only on a SMALL chunk (per-chunk entry/exit overhead, ~130 ms
-    # on the kernel engines) — a chunk_cap-limited chunk of O(100+) is
-    # deliberate and cheap
-    if events and chunk < min(min(events), 50) and chunk < cfg.nsteps:
-        import warnings
-
-        warnings.warn(
-            f"event cadences {events} give a chunk of only {chunk} "
-            "step(s): the run pays the chunk entry/exit overhead every "
-            "time — make the cadences multiples of a common base for "
-            "TPU throughput", stacklevel=2)
     run_chunk = None
-    is_pallas = False
+    sess = None
     if cfg.use_ref_state and engine not in ("auto", "jnp", "pallas"):
         raise ValueError(
             f"engine {engine!r} unavailable: USE_REF_STATE threads the "
-            "equilibrium state through every step (jnp engine, or the "
-            "fused kernel — single-device or shard_map — with per-chunk "
-            "COM rolling)")
-    if chunk > 2 and engine != "jnp":
-        on_tpu = jax.devices()[0].platform == "tpu"
-        multi = mesh is not None and mesh.size > 1
-        ref2_fn = None
-        if cfg.use_ref_state:
-            # per-chunk COM roll for the kernel engines (the reference
-            # re-rolls every step via update_com, LBM_binary.H:92-106;
-            # the integer shift changes only when the COM crosses a cell
-            # boundary, so per-chunk is the same roll for any chunk in
-            # which round(com) is constant)
-            from .ops.noise import _roll3
+            "equilibrium state through every step (jnp engine, or a "
+            "kernel session — single-device or shard_map — with guarded "
+            "per-chunk COM rolling)")
+    on_tpu = jax.devices()[0].platform == "tpu"
+    # test hook: exercise the session run loop on CPU in Pallas
+    # interpret mode (single-tile shards; see kernels/session.py)
+    interp = not on_tpu and bool(os.environ.get("BFLBM_SESSION_INTERPRET"))
+    multi = mesh is not None and mesh.size > 1
+    if engine in ("auto", "pallas") and (on_tpu or interp) \
+            and p.alpha1 == 0.0:
+        # Persistent post-collide kernel session (kernels/session.py):
+        # one jnp entry at run start, chunks advance RESIDENT in
+        # post-collide space, and the ~130 ms boundary conversion is
+        # paid only when an observable needs a post-stream view — so
+        # production-cadence chunking (~100 steps) runs at the
+        # 1000-step-chunk benchmark rate.  Covers single-device (with
+        # lattice axis permutation) and shard_map meshes (with MESH
+        # permutation: z-sharded meshes run the fast path too).
+        from .kernels import session as session_lib
 
-            com_ref_j = jnp.asarray(com_ref)
+        sess = session_lib.make_session(
+            p, cfg.shape, mesh=mesh if multi else None,
+            ref_fields=ref_state if cfg.use_ref_state else None,
+            interpret=interp, **kernel_opts)
+        if sess is None and multi:
+            import warnings
 
-            @jax.jit
-            def ref2_fn(f):
-                com = stats_obs.center_of_mass(jnp.sum(f, axis=0))
-                shift = jnp.round(com - com_ref_j).astype(jnp.int32)
-                return jnp.stack([_roll3(rho_eq, shift),
-                                  _roll3(phi_eq, shift)])
-        if engine in ("auto", "pallas") and multi and on_tpu \
-                and p.alpha1 == 0.0:
-            # multi-chip production path: Pallas kernel per shard under
-            # shard_map with ppermute halo exchange (parallel/kernel.py)
-            from .parallel import kernel as kernel_par
+            degrade = ("raising (engine='pallas' was requested "
+                       "explicitly)" if engine == "pallas" else
+                       "falling back to the MUCH slower jnp chunk "
+                       "engine")
+            warnings.warn(
+                f"mesh {dict(mesh.shape)} cannot run the fused-kernel "
+                f"shard_map path for domain {cfg.shape} under any axis "
+                "permutation (needs an unsharded 128-multiple lane axis "
+                f"and 8-multiple local y) — {degrade}", stacklevel=2)
+    if sess is None:
+        # warn only on a SMALL chunk (per-chunk entry/exit overhead on
+        # the non-resident engines) — a chunk_cap-limited chunk of
+        # O(100+) is deliberate and cheap
+        if events and chunk < min(min(events), 50) and chunk < cfg.nsteps:
+            import warnings
 
-            if kernel_par.supports(mesh, cfg.shape,
-                                   kernel_opts.get("block", 2)):
-                kfn = kernel_par.make_kernel_nsteps(
-                    mesh, p, chunk, use_ref=cfg.use_ref_state,
-                    **kernel_opts)
-                if cfg.use_ref_state:
-                    def run_chunk(s, _kfn=kfn):
-                        return _kfn(s, ref2_fn(s.f))
-                else:
-                    run_chunk = kfn
-                is_pallas = True
-            else:
-                import warnings
-
-                degrade = ("raising (engine='pallas' was requested "
-                           "explicitly)" if engine == "pallas" else
-                           "falling back to the MUCH slower jnp chunk "
-                           "engine")
-                warnings.warn(
-                    f"mesh {dict(mesh.shape)} cannot run the fused-kernel "
-                    f"shard_map path for domain {cfg.shape} (needs z "
-                    "unsharded, local Z % 128 == 0, local Y % 8 == 0, "
-                    f"local X >= 2*block) — {degrade}; prefer x/y-sharded "
-                    "meshes (the make_mesh default)", stacklevel=2)
-        if run_chunk is None and engine in ("auto", "pallas") \
-                and not multi:
-            from .kernels import fused_step
-
-            if (fused_step.supports(cfg.shape)
-                    and p.alpha1 == 0.0
-                    and on_tpu):
-                kernel_fn = fused_step.make_nsteps(
-                    p, chunk, use_ref=cfg.use_ref_state, **kernel_opts)
-                is_pallas = True
-                if cfg.use_ref_state:
-                    def run_chunk(s, _kfn=kernel_fn):  # noqa: F811
-                        return _kfn(s, ref2_fn(s.f))
-                else:
-                    run_chunk = kernel_fn
-        if run_chunk is None and engine == "halo" and mesh is not None:
+            warnings.warn(
+                f"event cadences {events} give a chunk of only {chunk} "
+                "step(s): the run pays the chunk entry/exit overhead "
+                "every time — make the cadences multiples of a common "
+                "base for TPU throughput", stacklevel=2)
+        if chunk > 2 and engine == "halo" and mesh is not None:
             from .parallel import halo as halo_par
 
             run_chunk = halo_par.make_halo_nsteps(mesh, p, chunk)
-    if run_chunk is None and engine not in ("auto", "jnp"):
-        raise ValueError(
-            f"engine {engine!r} unavailable for this configuration"
-            + (f" (event cadences collapse chunks to {chunk} step(s); "
-               "chunk engines need chunk > 2)" if chunk <= 2 else ""))
+        if run_chunk is None and engine not in ("auto", "jnp"):
+            raise ValueError(
+                f"engine {engine!r} unavailable for this configuration"
+                + (f" (event cadences collapse chunks to {chunk} "
+                   "step(s); chunk engines need chunk > 2)"
+                   if chunk <= 2 else ""))
     # Noise dumps (WriteOutNoise analog, Debug.H:381-409) are EXACT for
     # every dumped step under every engine: out_noise_int divides the
     # chunk size (gcd above), so each dump lands on a chunk boundary
     # where `noise_only(state)` draws the same threefry split the next
-    # chunk's first step consumes (the kernel engines enter post-collide
-    # space through one jnp prelude+collide — fused_step.make_nsteps).
+    # chunk's first step consumes (a kernel session fully EXITS at dump
+    # boundaries and re-enters through the jnp prelude, which consumes
+    # exactly the dumped draw — kernels/session.py docstring).
     # Non-dumped steps inside a kernel chunk use the in-kernel hash/HW
     # streams, which are not dumped — same cadence semantics as the
     # reference, whose WriteOutNoise only writes every out_noise_step.
-    if run_chunk is None and chunk > 1:
+    if sess is None and run_chunk is None and chunk > 1:
         def _scan_chunk(s):
             def body(st, _):
                 st, _h = model.step(st, p, ref_state, **nsrc)
@@ -283,27 +255,52 @@ def run(cfg: RunConfig, *, mesh=None, engine: str = "auto",
     t0 = time.perf_counter()
     last = cfg.step_continue + cfg.nsteps
     step_i = first
+    pc = None  # session-resident post-collide state
     try:
         while step_i < last:
             n = min(chunk, last - step_i)
-            if run_chunk is not None and n == chunk:
+            if sess is not None:
+                if pc is None:
+                    pc = sess.enter(state)  # donates; counts as 1 step
+                    state = None
+                    if n > 1:
+                        pc = sess.advance(pc, n - 1)
+                else:
+                    pc = sess.advance(pc, n)
+            elif run_chunk is not None and n == chunk:
                 state = run_chunk(state)
             else:
                 for _ in range(n):
                     state = step_plain(state)
             step_i += n
 
-            if noise_only is not None and step_i % cfg.out_noise_int == 0:
-                xi_f, xi_g = noise_only(state)
-                fields_io.write_noise_frame(cfg.out_dir, step_i, xi_f, xi_g)
-
+            dump_due = (noise_only is not None
+                        and step_i % cfg.out_noise_int == 0)
             need_hydro = (
                 (cfg.plot_int > 0 and step_i % cfg.plot_int == 0)
                 or (use_sf and step_i >= sf_start and step_i % cfg.sf_every == 0)
                 or (cfg.print_int > 0 and step_i % cfg.print_int == 0)
+                or (cfg.droplet_int > 0 and step_i % cfg.droplet_int == 0)
                 or step_i == last
             )
-            packed = hydro_only(state) if need_hydro else None
+            if sess is not None:
+                if dump_due or step_i >= last:
+                    # full session exit: a noise dump must dump the draw
+                    # the next step consumes (the re-entry prelude), and
+                    # the end-of-run checkpoint needs the standard state
+                    state = sess.exit(pc)
+                    pc = None
+                    view = state
+                else:
+                    view = sess.exit_view(pc) if need_hydro else None
+            else:
+                view = state
+
+            if dump_due:
+                xi_f, xi_g = noise_only(view)
+                fields_io.write_noise_frame(cfg.out_dir, step_i, xi_f, xi_g)
+
+            packed = hydro_only(view) if need_hydro else None
 
             if use_sf and step_i >= sf_start and step_i % cfg.sf_every == 0:
                 if sf_state is None:
@@ -326,20 +323,36 @@ def run(cfg: RunConfig, *, mesh=None, engine: str = "auto",
                     if cfg.plot_save:
                         eq_paths.append(path)
 
+            if cfg.droplet_int > 0 and step_i % cfg.droplet_int == 0:
+                # online droplet-radius series (radius_steps_out analog:
+                # the reference fits the droplet INSIDE the step loop and
+                # appends (W, R) every plot_int, main_run_job.cpp:353-378
+                # + Debug.H:360-378) — long campaigns get live
+                # convergence monitoring instead of flying blind until
+                # offline analysis; consumed by `analysis.py radius`
+                metrics.log(step_i, **_droplet_record(np.asarray(packed[0])))
+
             if cfg.print_int > 0 and step_i % cfg.print_int == 0:
                 rho = packed[0]
                 rec = {"mlups": (step_i - first)
                        * np.prod(cfg.shape) / (time.perf_counter() - t0) / 1e6}
                 if bool(debug.has_nonfinite(rho)):
                     ckpt.save_state(
-                        os.path.join(cfg.out_dir, f"abort{step_i:07d}"), state)
+                        os.path.join(cfg.out_dir, f"abort{step_i:07d}"), view)
                     raise FloatingPointError(
                         f"non-finite density at step {step_i}; "
                         "state checkpointed")
                 st = debug.field_stats(rho)
                 rec.update({k: float(v) for k, v in st.items()})
-                rec["mass_f"] = float(debug.mass(state.f))
-                rec["mass_g"] = float(debug.mass(state.g))
+                rec["mass_f"] = float(debug.mass(view.f))
+                rec["mass_g"] = float(debug.mass(view.g))
+                if sess is not None and cfg.use_ref_state:
+                    # USE_REF_STATE per-chunk COM-roll guard (the
+                    # reference re-rolls every step, LBM_binary.H:92-106;
+                    # per-chunk is exact only while round(COM) is
+                    # constant over the chunk — the session counts the
+                    # chunks where it wasn't)
+                    rec["ref_roll_violations"] = sess.ref_violations()
                 metrics.log(step_i, **rec)
 
     finally:
@@ -348,6 +361,16 @@ def run(cfg: RunConfig, *, mesh=None, engine: str = "auto",
         # the eq read-back below also needs the frames on disk)
         if frame_writer is not None:
             frame_writer.close()
+
+    if sess is not None and cfg.use_ref_state and sess.ref_violations():
+        import warnings
+
+        warnings.warn(
+            f"USE_REF_STATE: {sess.ref_violations()} chunk(s) saw the "
+            "rounded COM shift change mid-chunk — the per-chunk "
+            "equilibrium-state roll deviated from the reference's "
+            "per-step update_com there; reduce chunk_cap (the droplet "
+            "is drifting >1 cell per chunk)", stacklevel=2)
 
     # end-of-run artifacts
     ckpt.save_state(
@@ -380,6 +403,27 @@ def run(cfg: RunConfig, *, mesh=None, engine: str = "auto",
         metrics.log(last, **conv)
     metrics.close()
     return state
+
+
+def _droplet_record(rho: np.ndarray) -> dict:
+    """One online droplet-fit record: tanh-profile (R, W) fit about the
+    excess-mass COM (fittingDropletParams, LBM_hydrovs.H:117-213) plus
+    the always-robust equivalent-sphere radius.  A non-converged tanh
+    fit (e.g. mid-quench, no droplet yet) drops the (R, W) keys but
+    still logs R_mass and the COM."""
+    from .observables import droplet as drop_obs
+
+    excess = rho - rho[0, 0, 0]
+    com = drop_obs.center_of_mass(excess)
+    rec = {"droplet_com": [float(c) for c in com],
+           "droplet_R_mass": float(drop_obs.radius_from_mass(rho))}
+    try:
+        fit = drop_obs.fit_droplet(rho, com)
+    except (RuntimeError, ValueError):
+        return rec
+    rec["droplet_R"] = fit["R"]
+    rec["droplet_W"] = fit["W"]
+    return rec
 
 
 def _cfg_json(cfg: RunConfig) -> dict:

@@ -15,7 +15,8 @@ import sys
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path[:0] = [_HERE, os.path.dirname(_HERE)]  # examples/ + repo root
-from _common import ensure_dir, example_argparser, setup_backend, show
+from _common import (ensure_dir, example_argparser, pick, setup_backend,
+                     show)
 
 args = example_argparser(__doc__, "out/examples/mixture").parse_args()
 setup_backend(args)
@@ -27,16 +28,19 @@ n = 16 * args.scale
 ensure_dir(args.out)
 
 # --- Step I: deterministic equilibration (Parameters: Mixture Step I) ---
+n_eq = pick(args, 100, 20)
 eq = preset("mixture-eq").replace(
-    shape=(n, n, n), nsteps=100, plot_int=50, t_window=40,
+    shape=(n, n, n), nsteps=n_eq, plot_int=pick(args, 50, 10),
+    t_window=pick(args, 40, 20),
     out_dir=os.path.join(args.out, "eq"))
 run_mod.run(eq)
 ckpt = os.path.join(eq.out_dir, f"checkpoint{eq.nsteps:07d}")
 
 # --- Step II: fluctuating continuation with structure factors ---------
 fl = preset("mixture-fluct").replace(
-    shape=(n, n, n), nsteps=100 + 120 * args.scale, step_continue=100,
-    plot_int=40, sf_window=100 * args.scale, sf_every=5,
+    shape=(n, n, n), nsteps=n_eq + pick(args, 120 * args.scale, 40),
+    step_continue=n_eq, plot_int=pick(args, 40, 20),
+    sf_window=pick(args, 100 * args.scale, 20), sf_every=5,
     init="checkpoint", checkpoint_path=ckpt,
     out_dir=os.path.join(args.out, "fluct"))
 run_mod.run(fl)

@@ -20,7 +20,8 @@ import sys
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path[:0] = [_HERE, os.path.dirname(_HERE)]  # examples/ + repo root
-from _common import ensure_dir, example_argparser, setup_backend, show
+from _common import (ensure_dir, example_argparser, pick, setup_backend,
+                     show)
 
 args = example_argparser(__doc__, "out/examples/noise").parse_args()
 setup_backend(args)
@@ -32,8 +33,8 @@ n = 16 * args.scale
 ensure_dir(args.out)
 
 cfg = preset("mixture-fluct").replace(
-    shape=(n, n, n), nsteps=40, step_continue=0, init="mixture",
-    plot_int=0, sf_window=0, out_noise_int=2,
+    shape=(n, n, n), nsteps=pick(args, 40, 10), step_continue=0,
+    init="mixture", plot_int=0, sf_window=0, out_noise_int=2,
     out_dir=args.out)
 run_mod.run(cfg)
 

@@ -22,7 +22,8 @@ import sys
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path[:0] = [_HERE, os.path.dirname(_HERE)]  # examples/ + repo root
-from _common import ensure_dir, example_argparser, setup_backend, show
+from _common import (ensure_dir, example_argparser, pick, setup_backend,
+                     show)
 
 args = example_argparser(__doc__, "out/examples/interface").parse_args()
 setup_backend(args)
@@ -34,16 +35,19 @@ ensure_dir(args.out)
 shape = (8, 64 * args.scale, 32)
 
 # --- Step I: deterministic stripe equilibration ------------------------
+n_eq = pick(args, 400, 40)
 eq = preset("interface-eq").replace(
-    shape=shape, nsteps=400, plot_int=200, t_window=100,
+    shape=shape, nsteps=n_eq, plot_int=pick(args, 200, 20),
+    t_window=pick(args, 100, 20),
     out_dir=os.path.join(args.out, "eq"))
 run_mod.run(eq)
 ckpt = os.path.join(eq.out_dir, f"checkpoint{eq.nsteps:07d}")
 
 # --- Step II: fluctuating continuation ---------------------------------
 fl = preset("interface-fluct").replace(
-    shape=shape, nsteps=400 + 200 * args.scale, step_continue=400,
-    plot_int=20, init="checkpoint", checkpoint_path=ckpt,
+    shape=shape, nsteps=n_eq + pick(args, 200 * args.scale, 60),
+    step_continue=n_eq,
+    plot_int=pick(args, 20, 10), init="checkpoint", checkpoint_path=ckpt,
     out_dir=os.path.join(args.out, "fluct"))
 run_mod.run(fl)
 

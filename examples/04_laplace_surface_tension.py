@@ -19,7 +19,8 @@ import sys
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path[:0] = [_HERE, os.path.dirname(_HERE)]  # examples/ + repo root
-from _common import ensure_dir, example_argparser, setup_backend, show
+from _common import (ensure_dir, example_argparser, pick, setup_backend,
+                     show)
 
 args = example_argparser(__doc__, "out/examples/laplace").parse_args()
 setup_backend(args)
@@ -31,7 +32,8 @@ ensure_dir(args.out)
 dirs = []
 for r in (0.25, 0.30, 0.35):
     cfg = preset("droplet-eq").replace(
-        shape=(24, 24, 24), nsteps=1500 * args.scale, plot_int=500,
+        shape=(24, 24, 24), nsteps=pick(args, 1500 * args.scale, 120),
+        plot_int=pick(args, 500, 60),
         init_radius=r, out_dir=os.path.join(args.out, f"r{r:.2f}"))
     run_mod.run(cfg)
     dirs.append(cfg.out_dir)

@@ -19,7 +19,8 @@ import sys
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path[:0] = [_HERE, os.path.dirname(_HERE)]  # examples/ + repo root
-from _common import ensure_dir, example_argparser, setup_backend, show
+from _common import (ensure_dir, example_argparser, pick, setup_backend,
+                     show)
 
 args = example_argparser(__doc__, "out/examples/msd").parse_args()
 setup_backend(args)
@@ -30,15 +31,17 @@ from bflbm_tpu.config import preset  # noqa: E402
 ensure_dir(args.out)
 n = 24 * args.scale
 
+n_eq = pick(args, 800, 60)
 eq = preset("droplet-msd-eq").replace(
-    shape=(n, n, n), nsteps=800, plot_int=0, init_radius=0.25,
+    shape=(n, n, n), nsteps=n_eq, plot_int=0, init_radius=0.25,
     out_dir=os.path.join(args.out, "eq"))
 run_mod.run(eq)
 ckpt = os.path.join(eq.out_dir, f"checkpoint{eq.nsteps:07d}")
 
 fl = preset("droplet-msd-fluct").replace(
-    shape=(n, n, n), nsteps=800 + 600 * args.scale, step_continue=800,
-    plot_int=20, init="checkpoint", checkpoint_path=ckpt,
+    shape=(n, n, n), nsteps=n_eq + pick(args, 600 * args.scale, 120),
+    step_continue=n_eq,
+    plot_int=pick(args, 20, 10), init="checkpoint", checkpoint_path=ckpt,
     out_dir=os.path.join(args.out, "fluct"))
 run_mod.run(fl)
 

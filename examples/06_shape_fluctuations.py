@@ -24,7 +24,8 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path[:0] = [_HERE, os.path.dirname(_HERE)]  # examples/ + repo root
-from _common import ensure_dir, example_argparser, setup_backend, show
+from _common import (ensure_dir, example_argparser, pick, setup_backend,
+                     show)
 
 args = example_argparser(__doc__, "out/examples/shape").parse_args()
 setup_backend(args)
@@ -37,8 +38,9 @@ from bflbm_tpu.observables import marching_cubes as mc  # noqa: E402
 ensure_dir(args.out)
 n = 24 * args.scale
 
+n_eq = pick(args, 1200, 60)
 eq = preset("droplet-eq").replace(
-    shape=(n, n, n), nsteps=1200, plot_int=0, init_radius=0.3,
+    shape=(n, n, n), nsteps=n_eq, plot_int=0, init_radius=0.3,
     out_dir=os.path.join(args.out, "eq"))
 run_mod.run(eq)
 ckpt = os.path.join(eq.out_dir, f"checkpoint{eq.nsteps:07d}")
@@ -64,7 +66,8 @@ def on_frame(step, hydro):
 
 
 fl = preset("droplet-fluct").replace(
-    shape=(n, n, n), nsteps=1200 + 300 * args.scale, step_continue=1200,
+    shape=(n, n, n), nsteps=n_eq + pick(args, 300 * args.scale, 60),
+    step_continue=n_eq,
     plot_int=20, plot_save=False, init="checkpoint",
     checkpoint_path=ckpt, out_dir=os.path.join(args.out, "fluct"))
 run_mod.run(fl, on_frame=on_frame)

@@ -16,7 +16,8 @@ import sys
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path[:0] = [_HERE, os.path.dirname(_HERE)]  # examples/ + repo root
-from _common import ensure_dir, example_argparser, setup_backend, show
+from _common import (ensure_dir, example_argparser, pick, setup_backend,
+                     show)
 
 args = example_argparser(__doc__, "out/examples/viz").parse_args()
 setup_backend(args)
@@ -27,7 +28,8 @@ from bflbm_tpu.config import preset  # noqa: E402
 ensure_dir(args.out)
 n = 24 * args.scale
 cfg = preset("droplet-eq").replace(
-    shape=(n, n, n), nsteps=600, plot_int=100, init_radius=0.3,
+    shape=(n, n, n), nsteps=pick(args, 600, 60),
+    plot_int=pick(args, 100, 20), init_radius=0.3,
     out_dir=os.path.join(args.out, "run"))
 run_mod.run(cfg)
 last = sorted(glob.glob(os.path.join(cfg.out_dir, "plt*.npz")))[-1]

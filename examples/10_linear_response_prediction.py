@@ -37,7 +37,8 @@ import time
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path[:0] = [_HERE, os.path.dirname(_HERE)]  # examples/ + repo root
-from _common import ensure_dir, example_argparser, setup_backend, show
+from _common import (ensure_dir, example_argparser, pick, setup_backend,
+                     show)
 
 args = example_argparser(__doc__, "out/examples/linear_response").parse_args()
 setup_backend(args)
@@ -118,7 +119,7 @@ t_pred = time.time() - t0
 
 # ---- measure: fluctuating trajectory from the same fixed point --------
 steps_per_sample = 5
-n_samples = 4000 * args.scale
+n_samples = pick(args, 4000 * args.scale, 300)
 stepj = jax.jit(lambda s: model.step(s, params)[0])
 
 
@@ -132,7 +133,7 @@ def advance(s):
 cosk_j = jnp.asarray(cosk / np.sqrt(N), jnp.float32)
 state = state0
 # burn-in ~5 mode relaxation times so the mode thermalizes
-for _ in range(40):
+for _ in range(pick(args, 40, 8)):
     state = advance(state)
 os_ = np.empty(n_samples)
 t0 = time.time()

@@ -20,7 +20,17 @@ def example_argparser(desc: str, out_default: str) -> argparse.ArgumentParser:
                     help="force the CPU backend")
     ap.add_argument("--scale", type=int, default=1,
                     help="multiply domain edge / steps (1 = smoke size)")
+    ap.add_argument("--smoke", action="store_true",
+                    help="minimal-step CI mode: exercises the full "
+                    "pipeline end-to-end in seconds; the physics "
+                    "numbers are NOT converged (tests/test_examples.py "
+                    "sweeps every example this way)")
     return ap
+
+
+def pick(args, full, smoke):
+    """full-size value, or the tiny one under --smoke."""
+    return smoke if getattr(args, "smoke", False) else full
 
 
 def setup_backend(args) -> None:

@@ -29,3 +29,22 @@ def test_example_help(path):
                        env=dict(os.environ, PALLAS_AXON_POOL_IPS=""))
     assert r.returncode == 0, r.stderr
     assert "--cpu" in r.stdout and "--scale" in r.stdout
+    assert "--smoke" in r.stdout
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("path", EXAMPLES,
+                         ids=[os.path.basename(p) for p in EXAMPLES])
+def test_example_smoke(path, tmp_path):
+    """Every worked example runs END-TO-END at --smoke size (the
+    migration surface of examples/README.md; SURVEY.md §4's
+    notebooks-as-tests mandate).  Physics numbers are unconverged by
+    design — this pins that the pipelines (run -> analysis -> report)
+    execute.  ~30-120 s each on CPU; run via `pytest -m slow
+    tests/test_examples.py`."""
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="")
+    r = subprocess.run(
+        [sys.executable, path, "--cpu", "--smoke",
+         "--out", str(tmp_path / "out")],
+        capture_output=True, text=True, timeout=1200, env=env)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-4000:])

@@ -246,3 +246,37 @@ def test_analysis_reads_h5_frames(tmp_path):
     # round-trip: h5 frame contents match the in-memory packed hydro
     d = fields_io.read_frame(listed[-1])
     np.testing.assert_allclose(d["rho"], frames[-1][1][0], rtol=1e-6)
+
+
+def test_online_droplet_radius_series(tmp_path):
+    """RunConfig.droplet_int logs the in-loop droplet fit to
+    metrics.jsonl (radius_steps_out analog, main_run_job.cpp:353-378 +
+    Debug.H:360-378) and `analysis.py radius` consumes the series."""
+    import argparse
+    import json
+
+    from bflbm_tpu import analysis, run as run_mod
+    from bflbm_tpu.config import RunConfig
+
+    cfg = RunConfig(
+        shape=(16, 16, 16),
+        params=LBMParams(alpha0=1.5, kBT=0.0, kappa=0.1,
+                         rho_lo=0.1, rho_hi=3.0),
+        nsteps=20, plot_int=0, droplet_int=10, plot_save=False,
+        out_dir=str(tmp_path / "drop"), init="droplet", init_radius=0.3,
+    )
+    run_mod.run(cfg)
+    recs = [json.loads(l) for l in
+            open(tmp_path / "drop" / "metrics.jsonl")]
+    drops = [r for r in recs if "droplet_R_mass" in r]
+    assert [r["step"] for r in drops] == [10, 20]
+    for r in drops:  # schema pin
+        assert set(r) >= {"step", "droplet_com", "droplet_R_mass",
+                          "droplet_R", "droplet_W"}
+        assert 0.1 < r["droplet_R"] < 8.0
+        assert len(r["droplet_com"]) == 3
+    res = analysis.cmd_radius(argparse.Namespace(
+        dir=str(tmp_path / "drop"), series=True))
+    assert res["n_records"] == 2 and res["n_fit_converged"] == 2
+    assert res["step_last"] == 20
+    assert res["series"]["R"][-1] == drops[-1]["droplet_R"]
