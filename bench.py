@@ -93,14 +93,13 @@ from bflbm_tpu.utils.timing import time_steps  # noqa: E402
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--shape", type=int, nargs=3, default=None)
-    # 1000-step chunks = RunConfig.chunk_cap, the production maximum:
-    # each device execution pays one jnp entry/exit conversion of the
-    # post-collide state (~130 ms at 256^3), so the old 50-step chunks
-    # OVERSTATED that overhead 20x.  2026-08-19 ladder on one window:
-    # 978.7 @ 50, 1158.8 @ 200, 1202.6 @ 500, 1217.9 @ 1000 MLUPS;
-    # ~14 s per device call at 1000, well under the tunnel RPC kill
-    # threshold (which kills multi-minute calls).
-    ap.add_argument("--steps", type=int, default=1000)
+    # 100-step chunks AT PRODUCTION CADENCE: since kernels/session.py
+    # the state stays RESIDENT in post-collide space across chunks, so
+    # the chunk size no longer buys throughput (the old per-chunk jnp
+    # entry/exit cost ~130 ms at 256^3: r3 ladder 978.7 @ 50 ->
+    # 1217.9 @ 1000).  100 is the physics campaigns' S(k)/frame
+    # cadence — the scored number now IS the production number.
+    ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--kBT", type=float, default=1e-5)
     ap.add_argument("--alpha0", type=float, default=0.0)
     ap.add_argument("--repeats", type=int, default=3)
@@ -138,34 +137,46 @@ def main():
 
     # Fallback ladder: a deterministic compile/run failure of the newest
     # kernel variant must not zero the scored benchmark.  Fastest
-    # validated config first: CLT-2 byte-pair normals (+5% on the
-    # hybrid-blocked fluctuating case, benchmarks/tpu_clt2_ab.py;
-    # S(k) equipartition + per-mode variance validated on HW —
-    # ACCEPTANCE.md B-kernel-clt2, tpu_verify noise_*_clt2), then the
-    # CLT-4 default, the round-2-validated "eo" transform, then jnp.
+    # validated config first: the persistent session (state resident in
+    # post-collide space between chunks — kernels/session.py) with
+    # CLT-2 byte-pair normals (S(k) equipartition + per-mode variance
+    # validated on HW — ACCEPTANCE.md B-kernel-clt2, tpu_verify
+    # noise_*_clt2), then the CLT-4 default, the round-2-validated
+    # "eo" transform, the non-resident per-chunk kernel, then jnp.
     # Hangs are handled by the watchdog parent, crashes here.
     attempts = []
     if impl == "pallas":
-        attempts += [("pallas:clt2", {"noise_dist": "clt2"}),
-                     ("pallas", {}),
-                     ("pallas:eo", {"transform": "eo"})]
-    attempts += [("jnp", None)]
+        attempts += [("session:clt2", ("session", {"noise_dist": "clt2"})),
+                     ("session", ("session", {})),
+                     ("session:eo", ("session", {"transform": "eo"})),
+                     ("pallas:chunked", ("nsteps", {}))]
+    attempts += [("jnp", ("jnp", None))]
 
     run_n = state_b = None
-    for label, kw in attempts:
+    for label, (kind, kw) in attempts:
         try:
             # fresh state per attempt: a failed donated execution may
             # have invalidated the previous buffer
             state = model.init_mixture(shape, params, dtype=jnp.float32)
-            if kw is not None:
+            if kind == "session":
+                from bflbm_tpu.kernels.session import FusedSession
+
+                sess = FusedSession(params, shape, **kw)
+                pc = sess.enter(state)
+
+                def run_n(p, _s=sess):  # noqa: F811
+                    return _s.advance(p, args.steps)
+            elif kind == "nsteps":
                 from bflbm_tpu.kernels.fused_step import make_nsteps
 
                 run_n = make_nsteps(params, args.steps, **kw)
+                pc = state
             else:
                 run_n = jax.jit(
                     lambda s: model.nsteps(s, params, args.steps),
                     donate_argnums=0)
-            state_b = run_n(state)  # compile + warmup
+                pc = state
+            state_b = run_n(pc)  # compile + warmup
             fetch_scalar(state_b)
             impl = label
             break
