@@ -139,14 +139,17 @@ def main():
     # kernel variant must not zero the scored benchmark.  Fastest
     # validated config first: the persistent session (state resident in
     # post-collide space between chunks — kernels/session.py) with
-    # CLT-2 byte-pair normals (S(k) equipartition + per-mode variance
-    # validated on HW — ACCEPTANCE.md B-kernel-clt2, tpu_verify
-    # noise_*_clt2), then the CLT-4 default, the round-2-validated
-    # "eo" transform, the non-resident per-chunk kernel, then jnp.
-    # Hangs are handled by the watchdog parent, crashes here.
+    # u8 single-byte uniform deviates (Ladd's original FLBM noise;
+    # exact first/second moments; per-mode variance 0.15% and S(k)
+    # equipartition validated on HW — u8_r4.json, acceptance_u8), then
+    # CLT-2 byte-pair normals (ACCEPTANCE.md B-kernel-clt2), the CLT-4
+    # default, the round-2-validated "eo" transform, the non-resident
+    # per-chunk kernel, then jnp.  Hangs are handled by the watchdog
+    # parent, crashes here.
     attempts = []
     if impl == "pallas":
-        attempts += [("session:clt2", ("session", {"noise_dist": "clt2"})),
+        attempts += [("session:u8", ("session", {"noise_dist": "u8"})),
+                     ("session:clt2", ("session", {"noise_dist": "clt2"})),
                      ("session", ("session", {})),
                      ("session:eo", ("session", {"transform": "eo"})),
                      ("pallas:chunked", ("nsteps", {}))]

@@ -130,7 +130,9 @@ class RunConfig:
     #                            noise a pure function of (key, step,
     #                            cell): reconstructible + mesh-invariant)
     noise_dist: str = "clt4"   # normal generator for noise_source="hash"
-    #                            ("clt4" byte-sum / "bm" Box-Muller)
+    #                            ("clt4" byte-sum / "clt2" byte-pair /
+    #                            "u8" Ladd-style uniform / "bm"
+    #                            Box-Muller)
     droplet_int: int = 0       # online droplet-radius fit every N steps,
     #                            logged to metrics.jsonl (the reference
     #                            fits the droplet inside the step loop

@@ -48,8 +48,10 @@ hardware PRNG seeded per (seed, step, tile) (``"hw"``, final phase
 only), and the normal generator is ``noise_dist="clt4"`` (byte-sum,
 exact first/second moments, no transcendentals — see
 :func:`_clt4_normal`), ``"clt2"`` (byte-pair halves, two normals per
-word — cheapest, see :func:`_clt2_pair`) or ``"bm"`` (Box-Muller,
-exact Gaussian, ~3x slower noise phase).  All kernel streams are statistically
+word, see :func:`_clt2_pair`), ``"u8"`` (single-byte variance-matched
+uniform deviates — Ladd's original FLBM noise, four per word,
+cheapest, see :func:`_u8_quad`) or ``"bm"`` (Box-Muller, exact
+Gaussian, ~3x slower noise phase).  All kernel streams are statistically
 identical to the jnp path's threefry Gaussians for every validated
 fluctuation observable but not bitwise equal (the jnp path remains the
 decomposition-invariant reference; parity tests run at kBT=0 where the
@@ -264,6 +266,17 @@ _DEFAULT_TRANSFORM = "eof" if _EOF_OK else "eo"
 _N_NORMALS = 33
 _NPAIR = (_N_NORMALS + 1) // 2   # Box-Muller pairs (17 -> 34 normals)
 _PY = 8   # y pad: sublane tiling forces 8-aligned DMA fragments
+
+
+def sd_depth(params: LBMParams) -> int:
+    """Stencil depth per K = collide∘stream: streaming consumes one
+    neighbor cell; the Shan-Chen force gradient (alpha0 != 0,
+    LBM_binary.H:137-168) consumes a second.  Every pad, halo and
+    recompute region scales with sd*block, so the uncoupled case (all
+    fluctuating headline configs) runs half the overlap of the coupled
+    one — which is what moves its block optimum from 2 to 3
+    (benchmarks/results/block_r4.json)."""
+    return 2 if params.alpha0 != 0.0 else 1
 # draw-counter stride per step in the hash stream (>= 2*_NPAIR, power of
 # two so `step << 6 | draw` is injective for step < 2^25)
 _DRAW_STRIDE = 64
@@ -535,6 +548,30 @@ def _clt2_pair(w, dtype):
             hi.astype(dtype) * _CLT2_SCALE + _CLT2_OFF)
 
 
+# u8 single-byte uniform "normal": each byte of a word, standardized —
+# FOUR variance-matched draws per word.  This is exactly Ladd's original
+# FLBM noise (variance-matched UNIFORM deviates, J. Fluid Mech. 271,
+# 1994): support +-1.73 sigma, excess kurtosis -1.2.  Exact mean and
+# variance like clt4/clt2; every fluctuation observable this framework
+# validates is a second-moment statistic (see the CLT-4 note), and the
+# equilibrium S(k) acceptance is re-run per generator on hardware.
+# Cost: ~3 int ops per draw on HALF of clt2's PRNG bits — the bit
+# generator dominates the noise phase at 256^3.
+_U8_VAR = (65536.0 - 1.0) / 12.0          # var of a uniform 0..255 byte
+_U8_SCALE = float(1.0 / np.sqrt(_U8_VAR))
+_U8_OFF = float(-127.5 / np.sqrt(_U8_VAR))
+
+
+def _u8_quad(w, dtype):
+    """uint32 word -> 4 standardized byte-uniform draws (see above)."""
+    out = []
+    for sh in (0, 8, 16, 24):
+        b = jax.lax.bitcast_convert_type(
+            (w >> sh) & jnp.uint32(0xFF), jnp.int32)
+        out.append(b.astype(dtype) * _U8_SCALE + _U8_OFF)
+    return out
+
+
 def _bm_normals(us, dtype):
     """Box-Muller over 2*_NPAIR uniforms -> (n1, n2) pair lists."""
     two_pi = 6.283185307179586
@@ -551,8 +588,9 @@ def hash_normals(word, step, origin, region, domain, dtype,
                  dist: str = "clt4"):
     """(n1, n2) lists of _NPAIR standard normals each over the
     coordinate-keyed hash stream.  dist: "clt4" (byte-sum, default),
-    "clt2" (byte-pair halves, 2 normals/word — cheapest), or "bm"
-    (Box-Muller, exact Gaussian, ~2x slower)."""
+    "clt2" (byte-pair halves, 2 normals/word), "u8" (single-byte
+    uniform deviates, 4/word — cheapest), or "bm" (Box-Muller, exact
+    Gaussian, ~2x slower)."""
     if dist == "bm":
         us = hash_uniforms(word, step, origin, region, domain,
                            2 * _NPAIR, dtype)
@@ -561,6 +599,11 @@ def hash_normals(word, step, origin, region, domain, dtype,
         ws = hash_words(word, step, origin, region, domain, _NPAIR)
         pairs = [_clt2_pair(w, dtype) for w in ws]
         return [p[0] for p in pairs], [p[1] for p in pairs]
+    if dist == "u8":
+        ws = hash_words(word, step, origin, region, domain,
+                        (2 * _NPAIR + 3) // 4)
+        n = [d for w in ws for d in _u8_quad(w, dtype)][:2 * _NPAIR]
+        return n[0::2], n[1::2]
     ws = hash_words(word, step, origin, region, domain, 2 * _NPAIR)
     n = [_clt4_normal(w, dtype) for w in ws]
     return n[0::2], n[1::2]
@@ -917,7 +960,8 @@ def _k_compute(params: LBMParams, read_f, read_g, nx, ny, normals,
 
 def _step_kernel(params: LBMParams, shape, gdomain, bx, by, block,
                  noise_on, mode, transform, noise_impl, noise_dist,
-                 ext_mode, use_ref, mmat_ref, minv_ref, seed_ref,
+                 ext_mode, use_ref, win, owin, has_alias,
+                 mmat_ref, minv_ref, seed_ref,
                  fc_hbm, gc_hbm, *hbm_rest):
     """Grid program: `block` K-steps on one (bx, by, Z) interior tile.
 
@@ -938,20 +982,53 @@ def _step_kernel(params: LBMParams, shape, gdomain, bx, by, block,
     (rho_eq, phi_eq) stack — rides the same tiling/DMA pipeline as
     f/g (channel depth 2 instead of 19, ~5% extra HBM traffic) and
     feeds the noise amplitudes (USE_REF_STATE, LBM_binary.H:92-106).
+
+    win: static (wx0, wy0) window origin into the (larger) ext-mode
+    input arrays — the kernel computes the `shape`-sized window whose
+    ext block starts at input index (wx0 + i*bx, wy0 + j*by).  This is
+    what lets the ICI-overlap seam-band calls read the exchanged block
+    DIRECTLY instead of consuming XLA-materialized slices (each band
+    slice used to cost an extra read+write of ~3x the band's cells —
+    the dominant term in the r3 +21.4% split penalty).  wy0 must be
+    8-aligned (Mosaic sublane fragments).
+
+    owin/has_alias: static (ox0, oy0) window origin into LARGER output
+    arrays — the kernel writes only its `shape`-sized window, leaving
+    the rest untouched.  The interior split call declares the full
+    local block as out_shape (pallas outputs are uninitialized — the
+    unwritten cells cost nothing) and each seam-band call then writes
+    its band IN PLACE via input_output_aliases (has_alias: the two
+    aliased operand refs precede the outputs in hbm_rest and are
+    ignored — they are the same buffers).  This removes the split
+    path's output concatenates, which materialized a full local
+    read+write per sweep (~130 B/cell — the dominant split cost after
+    the slice fix; measured +36% deterministic).
     """
-    if use_ref:
-        ref_hbm, fout_hbm, gout_hbm = hbm_rest
-    else:
-        ref_hbm = None
-        fout_hbm, gout_hbm = hbm_rest
+    alias_skip = 2 if has_alias else 0
+    rest = list(hbm_rest)
+    ref_hbm = rest.pop(0) if use_ref else None
+    fout_hbm, gout_hbm = rest[alias_skip:]
     X, Y, Z = shape
     gx, gy = X // bx, Y // by
     n_tiles = gx * gy
     i = pl.program_id(0)
     j = pl.program_id(1)
     t = i * gy + j
-    px, py = 2 * block, _PY
+    # stencil depth per K: streaming consumes 1 neighbor cell; the
+    # Shan-Chen force gradient (alpha0 != 0) consumes a 2nd.  The
+    # uncoupled case (every fluctuating headline config) therefore
+    # needs only a block-deep halo — half the x re-reads and a
+    # QUARTER of the phase-0 seam-band (hash-noise) area vs the old
+    # hardwired 2*block.
+    sd = sd_depth(params)
+    px, py = sd * block, _PY
     exb, eyb = bx + 2 * px, by + 2 * py
+    wx0, wy0 = win
+    ox0_, oy0_ = owin
+    assert (win == (0, 0) and owin == (0, 0)) or ext_mode, \
+        "win/owin require ext_mode"
+    assert wy0 % 8 == 0 and oy0_ % 8 == 0, \
+        "window y origins must be sublane-aligned"
 
     xsizes = (px, bx, px)
     ysizes = (py, by, py)
@@ -979,8 +1056,9 @@ def _step_kernel(params: LBMParams, shape, gdomain, bx, by, block,
             if ext_mode:
                 for src, dst in zip(in_srcs, in_dsts()):
                     cps.append(pltpu.make_async_copy(
-                        src.at[:, pl.ds(ii * bx, exb),
-                               pl.ds(pl.multiple_of(jj * by, 8), eyb), :],
+                        src.at[:, pl.ds(wx0 + ii * bx, exb),
+                               pl.ds(pl.multiple_of(wy0 + jj * by, 8),
+                                     eyb), :],
                         dst.at[slot],
                         sems_in.at[slot, len(cps)],
                     ))
@@ -1020,9 +1098,9 @@ def _step_kernel(params: LBMParams, shape, gdomain, bx, by, block,
             if ext_mode:
                 for src, dst in zip(in_srcs, in_dsts()):
                     cps.append(pltpu.make_async_copy(
-                        src.at[:, pl.ds(ii * bx, exb),
-                               pl.ds(pl.multiple_of(jj * by + 2 * py, 8),
-                                     by), :],
+                        src.at[:, pl.ds(wx0 + ii * bx, exb),
+                               pl.ds(pl.multiple_of(
+                                   wy0 + jj * by + 2 * py, 8), by), :],
                         dst.at[slot, :, :, pl.ds(2 * py, by), :],
                         sems_in.at[slot, len(cps)],
                     ))
@@ -1069,8 +1147,9 @@ def _step_kernel(params: LBMParams, shape, gdomain, bx, by, block,
                 src = out_f2 if si == 0 else out_g2
                 cps.append(pltpu.make_async_copy(
                     src.at[slot],
-                    dst.at[:, pl.ds(ii * bx, bx),
-                           pl.ds(pl.multiple_of(jj * by, 8), by), :],
+                    dst.at[:, pl.ds(ox0_ + ii * bx, bx),
+                           pl.ds(pl.multiple_of(oy0_ + jj * by, 8),
+                                 by), :],
                     sems_out.at[slot, si],
                 ))
             return cps
@@ -1137,6 +1216,13 @@ def _step_kernel(params: LBMParams, shape, gdomain, bx, by, block,
                                     dtype)
                          for p in range(_NPAIR)]
                 return [p[0] for p in pairs], [p[1] for p in pairs]
+            if noise_dist == "u8":
+                nw = (2 * _NPAIR + 3) // 4
+                bits = pltpu.prng_random_bits((nw,) + shape_hw)
+                ns = [d for p in range(nw)
+                      for d in _u8_quad(pltpu.bitcast(bits[p], jnp.uint32),
+                                        dtype)][:2 * _NPAIR]
+                return ns[0::2], ns[1::2]
             bits = pltpu.prng_random_bits((2 * _NPAIR,) + shape_hw)
             if noise_dist == "clt4":
                 ns = [_clt4_normal(pltpu.bitcast(bits[a], jnp.uint32),
@@ -1166,7 +1252,7 @@ def _step_kernel(params: LBMParams, shape, gdomain, bx, by, block,
             tile, so it is all-HW; non-final phases split seam-band
             (hash) from interior (HW) — "seam-only hash", the lever that
             makes temporal blocking pay in the fluctuating case."""
-            p_s = 2 * (block - 1 - s)
+            p_s = sd * (block - 1 - s)
             region = (bx + 2 * p_s, by + 2 * p_s, Z)
             word = seed_ref[s]
             origin = (ox0 + i * bx - p_s, oy0 + j * by - p_s)
@@ -1175,7 +1261,7 @@ def _step_kernel(params: LBMParams, shape, gdomain, bx, by, block,
                 return hw_normals(s, region)
             wb = 2 * p_s                      # seam band width per edge
             inx, iny = bx - 2 * p_s, by - 2 * p_s
-            if noise_impl == "hash" or noise_dist not in ("clt4", "clt2") \
+            if noise_impl == "hash" or noise_dist not in ("clt4", "clt2", "u8") \
                     or inx < 8 or iny < 8:
                 # all-hash: decomposition-invariant reference stream
                 # (also the fallback when the exclusive interior is too
@@ -1282,17 +1368,19 @@ def _step_kernel(params: LBMParams, shape, gdomain, bx, by, block,
 
         def list_reader(lst):
             """Read phase s >= 1 inputs from the previous phase's output
-            arrays, whose region pad exceeds this one's by exactly 2."""
+            arrays, whose region pad exceeds this one's by exactly
+            the stencil depth sd."""
             def read(idx, x0, w, y0, h):
-                return lst[idx][2 + x0:2 + x0 + w, 2 + y0:2 + y0 + h, :]
+                return lst[idx][sd + x0:sd + x0 + w,
+                                sd + y0:sd + y0 + h, :]
             return read
 
-        p0 = 2 * (block - 1)
+        p0 = sd * (block - 1)
         cur_f = ref_reader(ext_f, p0)
         cur_g = ref_reader(ext_g, p0)
         f_l = g_l = None
         for s in range(block):
-            p_s = 2 * (block - 1 - s)
+            p_s = sd * (block - 1 - s)
             nx, ny = bx + 2 * p_s, by + 2 * p_s
             if noise_on and phase_normals[s] is None:
                 phase_normals[s] = gen_normals(s)
@@ -1347,7 +1435,8 @@ def _fused_step_call(params: LBMParams, shape, tile, noise_on,
                      seed, fc, gc, mode="auto", transform=_DEFAULT_TRANSFORM,
                      block=1, noise_impl="hw", noise_dist="clt4",
                      gdomain=None, ext_mode=False, interpret=False,
-                     ref=None):
+                     ref=None, win=(0, 0), odomain=None, owin=(0, 0),
+                     out_alias=None):
     """`block` K-steps over the (local) domain `shape`.
 
     seed = int32 [word_0..word_{block-1}, step] (periodic mode) or
@@ -1358,18 +1447,37 @@ def _fused_step_call(params: LBMParams, shape, tile, noise_on,
     ref: optional (2, X, Y, Z) COM-rolled (rho_eq, phi_eq) stack
     (pre-extended like fc/gc in ext_mode) — USE_REF_STATE noise
     amplitudes.
+    win: static (wx0, wy0) window origin into LARGER ext_mode inputs
+    (the out domain is the `shape`-sized window at that offset; the
+    ICI-overlap seam bands use this to read the exchanged block
+    without slice copies — see _step_kernel).
+    odomain/owin/out_alias: the output side of the window mechanism —
+    outputs have shape (Q,)+odomain (default `shape`) and the kernel
+    writes only the `shape`-sized window at owin.  out_alias=(fprev,
+    gprev) donates two odomain-shaped arrays as the output buffers
+    (pallas input_output_aliases), so a chain interior -> seam bands
+    assembles the full block IN PLACE with no output concatenates
+    (see _step_kernel owin note).
     """
     X, Y, Z = shape
     bx, by = tile
     assert X % bx == 0 and Y % by == 0, (shape, tile)
-    assert ext_mode or 2 * block <= X, (shape, block)
+    sd = sd_depth(params)
+    assert ext_mode or sd * block <= X, (shape, block)
+    if ext_mode:
+        assert fc.shape[1] >= win[0] + X + 2 * sd * block \
+            and fc.shape[2] >= win[1] + Y + 2 * _PY, (fc.shape, shape, win)
     use_ref = ref is not None and noise_on
     grid = (X // bx, Y // by)
+    odomain = tuple(odomain) if odomain is not None else (X, Y, Z)
+    assert odomain[0] >= owin[0] + X and odomain[1] >= owin[1] + Y, \
+        (odomain, shape, owin)
     kern = functools.partial(_step_kernel, params, shape,
                              gdomain or shape, bx, by, block,
                              noise_on, mode, transform, noise_impl,
-                             noise_dist, ext_mode, use_ref)
-    out_shape = [jax.ShapeDtypeStruct((Q, X, Y, Z), fc.dtype)] * 2
+                             noise_dist, ext_mode, use_ref, tuple(win),
+                             tuple(owin), out_alias is not None)
+    out_shape = [jax.ShapeDtypeStruct((Q,) + odomain, fc.dtype)] * 2
     mmat = jnp.asarray(M, fc.dtype)
     minv = jnp.asarray(M_INV, fc.dtype)
     in_specs = [
@@ -1383,12 +1491,20 @@ def _fused_step_call(params: LBMParams, shape, tile, noise_on,
     if use_ref:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # ref (HBM)
         operands.append(jnp.asarray(ref, fc.dtype))
+    aliases = {}
+    if out_alias is not None:
+        fprev, gprev = out_alias
+        assert fprev.shape == (Q,) + odomain, (fprev.shape, odomain)
+        aliases = {len(operands): 0, len(operands) + 1: 1}
+        in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 2
+        operands += [fprev, gprev]
     fo, go = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=in_specs,
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         out_shape=out_shape,
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024,
         ),
@@ -1439,31 +1555,42 @@ def _auto_block(params: LBMParams, shape, n_k: int, tile, block,
     blocking pay in the fluctuating uncoupled case too — b2 (16,16)
     hybrid 868 MLUPS vs the best b1 852 — provided the tile affords a
     >= 8-wide hardware-PRNG interior (bx, by >= 12, i.e. 16-divisible
-    extents) and the noise path is hw+clt4/clt2.  All-hash b2 (794) and
-    the coupled force path (b1 (16,16) = 781 wins) stay at block 1."""
+    extents) and the noise path is hw+clt4/clt2/u8.  All-hash b2 (794)
+    and the coupled force path (b1 (16,16) = 781 wins) stay at block 1.
+
+    Under the sd=1 stencil depth of the uncoupled case (round 4) the
+    recompute pads halve, which moves the optimum to block=3: at 256^3
+    determ 1625.5 (b2) -> 1657.8 (b3), fluct clt2 1252.4 -> 1282.7,
+    fluct u8 -> 1326.9; b4 and (32,16)-tile variants exceed VMEM
+    (benchmarks/results/block_r4.json).  block=3 additionally needs
+    the hybrid interior at phase 0 (bx - 2*sd*(block-1) >= 8, i.e.
+    bx >= 12 at sd=1) and n_k >= 3."""
     if block is not None:
         return block
     if n_k < 2:
         return 1
     if params.alpha0 != 0.0:
         return 1
+    best = 3 if n_k >= 3 else 2
     if params.noise_on:
-        # consult the tile the chooser would ACTUALLY return at
-        # block=2 (the VMEM budget can shrink bx below what the
+        # consult the tile the chooser would ACTUALLY return
+        # (the VMEM budget can shrink bx below what the
         # shape's divisibility suggests, e.g. (256,256,512) -> bx=8,
-        # whose 8-2*2 interior falls below the 8-wide HW-PRNG
+        # whose interior falls below the 8-wide HW-PRNG
         # minimum and would silently degrade every non-final phase
         # to the measured-slower all-hash blocked path; with_ref:
         # the ref operand's tighter VMEM budget can do the same)
-        if tile is not None:
-            bx, by = tile
-        else:
-            bx, by = _choose_tile(shape, 2, True, use_ref=with_ref)
-        hybrid_ok = (noise_impl == "hw"
-                     and noise_dist in ("clt4", "clt2")
-                     and bx >= 12 and by >= 12)
-        return 2 if hybrid_ok else 1
-    return 2 if shape[0] >= 4 else 1
+        for b in range(best, 1, -1):
+            if tile is not None:
+                bx, by = tile
+            else:
+                bx, by = _choose_tile(shape, b, True, use_ref=with_ref)
+            if (noise_impl == "hw"
+                    and noise_dist in ("clt4", "clt2", "u8")
+                    and bx - 2 * (b - 1) >= 8 and by - 2 * (b - 1) >= 8):
+                return b
+        return 1
+    return best if shape[0] >= sd_depth(params) * best else 1
 
 
 def make_ksteps(params: LBMParams, shape, n: int, tile=None,

@@ -36,17 +36,39 @@ HALO = 2
 
 
 def exchange_halo(local: jnp.ndarray, axis_name: str, ax: int,
-                  halo: int = HALO) -> jnp.ndarray:
+                  halo: int = HALO, pad_to: int = None) -> jnp.ndarray:
     """Append `halo`-deep neighbor slabs along local axis `ax` using two
-    ppermute rounds over mesh axis `axis_name` (periodic ring)."""
+    ppermute rounds over mesh axis `axis_name` (periodic ring).
+
+    pad_to: total appended slab depth (>= halo).  Only `halo` rows ride
+    the exchange; the remaining `pad_to - halo` rows — the FAR rows of
+    each slab, which exist purely so Mosaic's 8-aligned sublane DMA
+    fragments line up (fused_step._PY) and are never consumed by any
+    stencil — are zero-filled locally instead of shipped.  For the
+    kernel sweep's y halo this cuts the y ICI volume from _PY=8 rows to
+    the sd*T actually consumed (4x for the uncoupled block=2 case)."""
+    pad = 0 if pad_to is None else pad_to - halo
+    assert pad >= 0, (halo, pad_to)
+
+    def fill(slab, near_first):
+        if not pad:
+            return slab
+        shp = list(slab.shape)
+        shp[ax] = pad
+        z = jnp.zeros(shp, slab.dtype)
+        # consumed rows sit adjacent to the local block: zeros go on
+        # the far side (slab start for the left halo, end for the right)
+        return (jnp.concatenate([slab, z], axis=ax) if near_first
+                else jnp.concatenate([z, slab], axis=ax))
+
     n = jax.lax.psum(1, axis_name)
     if n == 1:
         # neighbor is self: periodic wrap locally
         left = jax.lax.slice_in_dim(local, local.shape[ax] - halo,
                                     local.shape[ax], axis=ax)
         right = jax.lax.slice_in_dim(local, 0, halo, axis=ax)
-        return jnp.concatenate([left, local, right], axis=ax)
-    idx = jax.lax.axis_index(axis_name)
+        return jnp.concatenate([fill(left, False), local,
+                                fill(right, True)], axis=ax)
     fwd = [(i, (i + 1) % n) for i in range(n)]
     bwd = [(i, (i - 1) % n) for i in range(n)]
     # my left halo = right edge of left neighbor (data moves +1)
@@ -55,7 +77,8 @@ def exchange_halo(local: jnp.ndarray, axis_name: str, ax: int,
     left_halo = jax.lax.ppermute(right_edge, axis_name, fwd)
     left_edge = jax.lax.slice_in_dim(local, 0, halo, axis=ax)
     right_halo = jax.lax.ppermute(left_edge, axis_name, bwd)
-    return jnp.concatenate([left_halo, local, right_halo], axis=ax)
+    return jnp.concatenate([fill(left_halo, False), local,
+                            fill(right_halo, True)], axis=ax)
 
 
 def make_halo_nsteps(mesh: Mesh, params: LBMParams, n: int,

@@ -5,7 +5,8 @@ with per-step halo exchange (`main_run_job.cpp:140-147`, FillBoundary in
 `LBM_binary.H:553-555`).  Here each device holds a local (X/mx, Y/my, Z)
 block of the post-collide populations; per temporal-block sweep it
 
-    1. exchanges 2*T-deep x halos and 8-deep y halos with its mesh
+    1. exchanges sd*T-deep x halos (sd = per-K stencil depth: 1
+       uncoupled, 2 with the Shan-Chen gradient) and 8-deep y halos with its mesh
        neighbors via two `lax.ppermute` rounds per axis (axis-by-axis
        exchange covers the D3Q19 edge diagonals), assembling the
        pre-extended block the Pallas kernel's ext mode consumes
@@ -25,8 +26,11 @@ block of the post-collide populations; per temporal-block sweep it
     inputs re-read the band neighborhoods), which is why it is gated on
     the mesh axis actually being sharded.
 
-The y halo depth is _PY = 8 (not 2*T) because Mosaic requires 8-aligned
-sublane DMA fragments; the extra rows cost bandwidth ~(8-2T)/BY.
+The y halo PAD depth is _PY = 8 (not sd*T) because Mosaic requires
+8-aligned sublane DMA fragments — but only the sd*T consumed rows ride
+the ppermute; the alignment remainder is zero-filled locally
+(exchange_halo pad_to), so the y ICI volume matches the stencil, not
+the alignment.
 
 Noise: all non-final temporal phases use the coordinate-keyed hash
 stream (`hash_normals`) keyed by GLOBAL cell coordinates (the shard
@@ -51,7 +55,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import LBMParams
 from ..kernels.fused_step import (_DEFAULT_TRANSFORM, _PY, _choose_tile,
-                                  _fused_step_call, supports_shape)
+                                  _fused_step_call, sd_depth,
+                                  supports_shape)
 from ..models import binary_fluid as model
 from ..ops import collide as collide_ops, stream as stream_ops
 from ..state import SimState
@@ -214,7 +219,11 @@ def _make_advance(mesh: Mesh, params: LBMParams, block, tile, mode,
     pspec = P(None, *names)
 
     def make_sweep(T, shape_loc, gdomain):
-        px = 2 * T
+        # stencil depth per K (see fused_step._step_kernel): the
+        # uncoupled case exchanges a T-deep x halo, not 2T — half
+        # the ICI volume on sharded x
+        sd = sd_depth(params)
+        px = sd * T
         Xl, Yl, Zl = shape_loc
         # split feasibility: the interior out domain (shrunk by the halo
         # depth on each split axis) must stay non-empty and kernel-shaped,
@@ -253,12 +262,14 @@ def _make_advance(mesh: Mesh, params: LBMParams, block, tile, mode,
         tl = tile or _choose_tile(shape_loc, T, params.noise_on,
                                   use_ref=use_ref)
 
-        def call(shape_c, tl_c, seed, fi, gi, ri=None):
+        def call(shape_c, tl_c, seed, fi, gi, ri=None, win=(0, 0),
+                 odomain=None, owin=(0, 0), out_alias=None):
             return _fused_step_call(
                 params, shape_c, tl_c, params.noise_on, seed, fi, gi,
                 mode, transform, T, noise_impl, noise_dist,
                 gdomain=gdomain, ext_mode=True, interpret=interpret,
-                ref=ri)
+                ref=ri, win=win, odomain=odomain, owin=owin,
+                out_alias=out_alias)
 
         def pick(shape_c):
             if interpret:        # single-tile grids only (CLAUDE.md)
@@ -266,17 +277,41 @@ def _make_advance(mesh: Mesh, params: LBMParams, block, tile, mode,
             return _choose_tile(shape_c, T, params.noise_on,
                                 use_ref=use_ref)
 
+        def pick_band(shape_c):
+            """Seam-band tiles.  y bands are _PY-thin with full-Xl
+            width (see `band` below), so the x tiling is free to match
+            the interior-proven bx=16 (larger bx, e.g. (31,8) on a
+            248-wide band, register-spills ~50 MB and blows the scoped
+            VMEM — measured); x bands are 2T-thin and tile y like the
+            interior."""
+            if interpret:
+                return (shape_c[0], shape_c[1])
+            wx, wy, Zc = shape_c
+            if wy > _PY:                     # x band: thin axis is x
+                return _choose_tile(shape_c, T, params.noise_on,
+                                    use_ref=use_ref)
+            def best(n, target):
+                divs = [d for d in range(1, n + 1) if n % d == 0]
+                return min(divs, key=lambda d: (abs(d - target), d))
+            return (best(wx, 16), wy)
+
+        # only px = sd*T y rows are consumed by any stencil; the
+        # remaining _PY-alignment rows are zero-filled locally instead
+        # of riding the ICI exchange (4x y-volume cut at uncoupled b2)
+        py_ship = min(px, _PY)
+
         def local_sweep(f_loc, g_loc, words, step0, *maybe_ref):
             r_loc = maybe_ref[0] if maybe_ref else None
             f_ext, g_ext = f_loc, g_loc
             f_ext = halo_par.exchange_halo(f_ext, "x", 1, px)
             g_ext = halo_par.exchange_halo(g_ext, "x", 1, px)
-            f_ext = halo_par.exchange_halo(f_ext, "y", 2, _PY)
-            g_ext = halo_par.exchange_halo(g_ext, "y", 2, _PY)
+            f_ext = halo_par.exchange_halo(f_ext, "y", 2, py_ship, _PY)
+            g_ext = halo_par.exchange_halo(g_ext, "y", 2, py_ship, _PY)
             r_ext = None
             if r_loc is not None:
                 r_ext = halo_par.exchange_halo(r_loc, "x", 1, px)
-                r_ext = halo_par.exchange_halo(r_ext, "y", 2, _PY)
+                r_ext = halo_par.exchange_halo(r_ext, "y", 2, py_ship,
+                                               _PY)
             ox0 = (jax.lax.axis_index("x") * Xl).astype(jnp.int32)
             oy0 = (jax.lax.axis_index("y") * Yl).astype(jnp.int32)
             base = jnp.concatenate([words, jnp.stack([step0])])
@@ -307,42 +342,48 @@ def _make_advance(mesh: Mesh, params: LBMParams, block, tile, mode,
                 if r_in is not None:
                     r_in = halo_par.exchange_halo(r_in, "x", 1, px)
             if not sy:
-                f_in = halo_par.exchange_halo(f_in, "y", 2, _PY)
-                g_in = halo_par.exchange_halo(g_in, "y", 2, _PY)
+                f_in = halo_par.exchange_halo(f_in, "y", 2, py_ship, _PY)
+                g_in = halo_par.exchange_halo(g_in, "y", 2, py_ship, _PY)
                 if r_in is not None:
-                    r_in = halo_par.exchange_halo(r_in, "y", 2, _PY)
+                    r_in = halo_par.exchange_halo(r_in, "y", 2, py_ship,
+                                                  _PY)
             # split sub-calls always use the chooser: the caller's
             # explicit `tile` is sized for the FULL local block and need
             # not divide the shrunken interior (Xl - 2*px) or the seam
-            # bands — it applies to the serial sweep only
-            fo_i, go_i = call((Xi, Yi, Zl), pick((Xi, Yi, Zl)),
-                              seed_at(xi0, yi0), f_in, g_in, r_in)
+            # bands — it applies to the serial sweep only.
+            # The interior declares the FULL local block as its output
+            # and writes only its window (pallas outputs are
+            # uninitialized, so the unwritten band cells are free);
+            # each seam band then writes its own window IN PLACE via
+            # input_output_aliases.  The r3 implementation concatenated
+            # five pieces instead, which materialized a full local
+            # read+write per sweep — measured +36% deterministic even
+            # after the band inputs stopped being sliced.
+            fo, go = call((Xi, Yi, Zl), pick((Xi, Yi, Zl)),
+                          seed_at(xi0, yi0), f_in, g_in, r_in,
+                          odomain=shape_loc, owin=(xi0, yi0))
 
-            def band(x0, wx, y0, wy):
-                """Seam-band call: out [x0,x0+wx) x [y0,y0+wy), inputs
-                sliced from the exchanged ext block (ext row r is global
-                local-x r - px, col c is y c - _PY)."""
-                def cut(a):
-                    a = jax.lax.slice_in_dim(a, x0, x0 + wx + 2 * px,
-                                             axis=1)
-                    return jax.lax.slice_in_dim(a, y0, y0 + wy + 2 * _PY,
-                                                axis=2)
-                return call((wx, wy, Zl), pick((wx, wy, Zl)),
-                            seed_at(x0, y0), cut(f_ext), cut(g_ext),
-                            None if r_ext is None else cut(r_ext))
+            def band(fo, go, x0, wx, y0, wy):
+                """Seam-band call: out [x0,x0+wx) x [y0,y0+wy), reading
+                the exchanged ext block DIRECTLY at window origin
+                (x0, y0) (ext row r is global local-x r - px, col c is
+                y c - _PY) and writing into the (fo, go) assembly
+                buffers in place."""
+                return call((wx, wy, Zl), pick_band((wx, wy, Zl)),
+                            seed_at(x0, y0), f_ext, g_ext, r_ext,
+                            win=(x0, y0), odomain=shape_loc,
+                            owin=(x0, y0), out_alias=(fo, go))
 
-            mid_f, mid_g = fo_i, go_i
-            if sy:
-                fl, gl = band(xi0, Xi, 0, _PY)
-                fh, gh = band(xi0, Xi, Yl - _PY, _PY)
-                mid_f = jnp.concatenate([fl, mid_f, fh], axis=2)
-                mid_g = jnp.concatenate([gl, mid_g, gh], axis=2)
+            # partition: y bands span the FULL x width (wx=Xl tiles
+            # like the interior; thin-x corners would register-spill),
+            # x bands cover only the middle rows [yi0, yi0+Yi)
             if sx:
-                fl, gl = band(0, px, 0, Yl)
-                fh, gh = band(Xl - px, px, 0, Yl)
-                mid_f = jnp.concatenate([fl, mid_f, fh], axis=1)
-                mid_g = jnp.concatenate([gl, mid_g, gh], axis=1)
-            return mid_f, mid_g
+                fo, go = band(fo, go, 0, px, yi0, Yi)
+                fo, go = band(fo, go, Xl - px, px, yi0, Yi)
+            if sy:
+                fo, go = band(fo, go, 0, Xl, 0, _PY)
+                fo, go = band(fo, go, 0, Xl, Yl - _PY, _PY)
+            return fo, go
 
         # check_vma=False: pallas_call outputs carry no varying-mesh-axes
         # annotation, which the checker would otherwise reject
@@ -361,11 +402,13 @@ def _make_advance(mesh: Mesh, params: LBMParams, block, tile, mode,
             raise ValueError(
                 f"local block {shape_loc} not kernel-tileable "
                 "(need Z % 128 == 0, Y_local % 8 == 0)")
-        if shape_loc[0] < 2 * max(1, min(block, n_k)) \
+        sd = sd_depth(params)
+        if shape_loc[0] < sd * max(1, min(block, n_k)) \
                 or shape_loc[1] < _PY:
             raise ValueError(
                 f"local block {shape_loc} too shallow for the halo "
-                f"exchange (need X_local >= {2 * block}, "
+                f"exchange (need X_local >= "
+                f"{sd * max(1, min(block, n_k))}, "
                 f"Y_local >= {_PY}); use a coarser mesh or block=1")
 
         T = max(1, min(block, n_k)) if n_k else 1

@@ -472,7 +472,7 @@ def main(argv=None):
                     choices=["unrolled", "eo", "eof", "eofc", "mxu"],
                     help="kernel moment-transform variant")
     ap.add_argument("--noise-dist", default=None,
-                    choices=["clt4", "clt2", "bm"],
+                    choices=["clt4", "clt2", "u8", "bm"],
                     help="kernel normal generator (clt2: cheapest, "
                     "exact first/second moments, support +-2.44 sigma)")
     ap.add_argument("--noise-source", default=None,

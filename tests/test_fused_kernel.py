@@ -122,7 +122,7 @@ def test_axis_perm_for_shape():
     assert not fused_step.supports((32, 32, 32))
 
 
-@pytest.mark.parametrize("dist", ["clt4", "clt2", "bm"])
+@pytest.mark.parametrize("dist", ["clt4", "clt2", "u8", "bm"])
 def test_hash_normals_coordinate_keyed(dist):
     """The counter-RNG normal for a global cell is independent of the
     region it is generated on — including negative origins and periodic
@@ -157,7 +157,7 @@ def test_hash_normals_coordinate_keyed(dist):
     assert not np.allclose(np.asarray(other[0][0]), np.asarray(full[0][0]))
 
 
-@pytest.mark.parametrize("dist", ["clt4", "clt2", "bm"])
+@pytest.mark.parametrize("dist", ["clt4", "clt2", "u8", "bm"])
 def test_hash_normals_statistics(dist):
     """Mean/variance/cross-draw and spatial-lag correlations of the hash
     stream (the FDT noise driver for temporally-blocked phases)."""
@@ -291,6 +291,32 @@ def test_clt2_pair_moments():
     hi2 = np.asarray(hi2, np.float64)
     np.testing.assert_allclose(hi2.var(), 1.0, rtol=1e-12)
     np.testing.assert_allclose(np.sort(hi2), np.sort(lo), atol=1e-12)
+
+
+def test_u8_quad_moments():
+    """The u8 single-byte generator (four variance-matched uniform
+    deviates per word — Ladd's original FLBM noise, J. Fluid Mech. 271,
+    1994; noise_dist="u8"): EXACT first/second moments, zero skew,
+    excess kurtosis -1.2, support +-1.73 sigma; the four byte lanes of
+    one word extract disjoint bits."""
+    from bflbm_tpu.kernels.fused_step import _u8_quad
+
+    w = np.arange(1 << 16, dtype=np.uint32)
+    ds = [np.asarray(d, np.float64)
+          for d in _u8_quad(jnp.asarray(w, jnp.uint32), jnp.float64)]
+    # byte 0 over the sweep: exhaustive uniform 0..255
+    np.testing.assert_allclose(ds[0].mean(), 0.0, atol=1e-12)
+    np.testing.assert_allclose(ds[0].var(), 1.0, rtol=1e-12)
+    m4 = (ds[0] ** 4).mean()
+    np.testing.assert_allclose(m4 - 3.0, -1.2, atol=1e-2)
+    assert np.isclose(np.abs(ds[0]).max(), 127.5 / np.sqrt(65535.0 / 12.0),
+                      rtol=1e-9)
+    # byte lanes are disjoint bit ranges: bytes 2,3 constant on this sweep
+    np.testing.assert_allclose(ds[2], ds[2][0])
+    np.testing.assert_allclose(ds[3], ds[3][0])
+    # byte 1 sweeps the same distribution
+    np.testing.assert_allclose(np.sort(np.unique(ds[1])),
+                               np.sort(np.unique(ds[0])), atol=1e-12)
 
 
 def test_clt4_normal_moments():

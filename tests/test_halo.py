@@ -87,3 +87,44 @@ def test_blocked_step_periodic_matches_jnp():
                                atol=1e-12)
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g2_ref),
                                atol=1e-12)
+
+
+def test_exchange_halo_pad_to():
+    """pad_to ships only `halo` rows over the ppermute and zero-fills
+    the far (never-consumed Mosaic-alignment) rows of each slab: the
+    near rows must be bitwise those of a full-depth exchange, the far
+    rows exactly zero (parallel.kernel's y halo, 4x ICI cut)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    import jax as _jax
+    mesh = mesh_lib.make_mesh((1, 2, 1), devices=_jax.devices()[:2])
+    x = jnp.arange(2 * 4 * 16 * 8, dtype=jnp.float32).reshape(2, 4, 16, 8)
+
+    def run(pad):
+        def f(loc):
+            return halo_par.exchange_halo(loc, "y", 2, 2,
+                                          pad_to=8 if pad else None)
+        return shard_map(
+            f, mesh=mesh, in_specs=P(None, "x", "y", "z"),
+            out_specs=P(None, "x", "y", "z"))(x)
+
+    full = np.asarray(shard_map(
+        lambda loc: halo_par.exchange_halo(loc, "y", 2, 8),
+        mesh=mesh, in_specs=P(None, "x", "y", "z"),
+        out_specs=P(None, "x", "y", "z"))(x))
+    got = np.asarray(run(True))
+    assert got.shape == full.shape
+    # per-shard local layout: [left slab 8][local 8][right slab 8]
+    for s in range(2):
+        lo, hi = s * 24, (s + 1) * 24
+        blk_f, blk_g = full[:, :, lo:hi], got[:, :, lo:hi]
+        # near rows of each slab (adjacent to the local block) match
+        np.testing.assert_array_equal(blk_g[:, :, 6:8], blk_f[:, :, 6:8])
+        np.testing.assert_array_equal(blk_g[:, :, 16:18],
+                                      blk_f[:, :, 16:18])
+        # local block untouched
+        np.testing.assert_array_equal(blk_g[:, :, 8:16], blk_f[:, :, 8:16])
+        # far alignment rows are exactly zero
+        assert not blk_g[:, :, 0:6].any()
+        assert not blk_g[:, :, 18:24].any()

@@ -126,16 +126,28 @@ def test_kernel_overlap_split_matches_jnp_deterministic():
 def test_kernel_overlap_split_noise_invariant():
     """Hash noise is keyed by global cell coordinates, so splitting the
     sweep into interior + seam-band calls must not change the
-    fluctuating trajectory at all vs the serial sweep."""
+    fluctuating trajectory vs the serial sweep — up to XLA:CPU's
+    shape-dependent FMA contraction of the mxu moment matmuls: under
+    interpret every call is a single full-band-shaped tile, so band
+    cells run through differently-shaped matmuls than the serial
+    sweep's (~1-2 ULP on a fraction of band cells; same effect and
+    tolerance rationale as test_kernel_shard_noise_mesh_invariance).
+    On hardware both sweeps use identical (bx, by) tiles and the
+    invariance is BITWISE — enforced by tpu_verify.json
+    ext_mode_overlap_noise_bitwise (max_df 0.0)."""
     params = LBMParams(alpha0=0.0, kBT=1e-5)
     shape = (16, 96, 128)
     state = model.init_mixture(shape, params, dtype=jnp.float32)
     a = _run((2, 4, 1), state, params, 3, block=1, overlap=True)
     b = _run((2, 4, 1), state, params, 3, block=1, overlap=False)
     np.testing.assert_allclose(np.asarray(a.f), np.asarray(b.f),
-                               rtol=0, atol=1e-7)
+                               rtol=0, atol=1e-6)
     np.testing.assert_allclose(np.asarray(a.g), np.asarray(b.g),
-                               rtol=0, atol=1e-7)
+                               rtol=0, atol=1e-6)
+    # identical injected noise: global mass matches to accumulation
+    # round-off, far below the per-step noise scale
+    np.testing.assert_allclose(float(jnp.sum(a.f)), float(jnp.sum(b.f)),
+                               rtol=1e-6)
 
 
 def test_kernel_shard_rejects_z_sharded():
@@ -162,7 +174,10 @@ def test_supports_block_depth():
     assert kernel_par.supports(mesh, (32, 8, 128))            # loc X = 4
     assert not kernel_par.supports(mesh, (16, 8, 128))        # loc X = 2 < 4
     assert kernel_par.supports(mesh, (16, 8, 128), block=1)
-    params = LBMParams(alpha0=0.0, kBT=1e-5)
+    # supports() is conservative (assumes sd=2); the runtime guard uses
+    # the actual stencil depth, so the coupled case (sd=2) trips it at
+    # loc X = 2 while the uncoupled case (sd=1) legitimately runs.
+    params = LBMParams(alpha0=0.5, kBT=1e-5)
     with pytest.raises(ValueError, match="too shallow"):
         kernel_par.make_kernel_nsteps(mesh, params, 8, block=2)(
             mesh_lib.shard_state(
