@@ -157,6 +157,38 @@ def _eof_mom(pops):
     return m
 
 
+def _eof_mom_c(pops):
+    """Conserved rows of the factored forward transform: [m0, m1, m2, m3].
+
+    Exact-relaxation fast path (tau = 1/2 -> lambda_bar = 1, the default
+    of every reference recipe, LBM_binary.H:74-80): the MRT collision
+    replaces ALL non-conserved moments by m_eq (+ forcing + noise), so
+    the streamed state's stress/ghost moments are computed only to be
+    discarded — the forward transform shrinks to the four conserved
+    rows.  The expression trees are the _eof_mom ones verbatim, so the
+    conserved moments stay bitwise equal to the full transform's.
+    """
+    sp = [pops[i] + pops[j] for i, j in _PAIRS]
+    dp = [pops[i] - pops[j] for i, j in _PAIRS]
+    f0 = pops[0]
+    v12 = sp[1] + sp[2]
+    s_ax = sp[0] + v12
+    s_d1 = sp[3] + sp[4]
+    s_d2 = sp[5] + sp[6]
+    s_d3 = sp[7] + sp[8]
+    s_di = (s_d1 + s_d2) + s_d3
+    a1 = dp[3] + dp[4]
+    a2 = dp[3] - dp[4]
+    b1 = dp[5] + dp[6]
+    b2 = dp[5] - dp[6]
+    c1 = dp[7] + dp[8]
+    c2 = dp[7] - dp[8]
+    ac = a1 + c1
+    ab = a2 + b1
+    bc = b2 + c2
+    return [f0 + (s_ax + s_di), dp[0] + ac, dp[1] + ab, dp[2] + bc]
+
+
 def _eof_pops(mom):
     """Factored back transform: 19 moments -> 19 populations, rest
     population by exact-mass telescoping (same property as "eo")."""
@@ -200,6 +232,48 @@ def _eof_pops(mom):
           (p2 - p3) + (q11 - q12) + (r14 + r15),
           (p1 + p3) + (q10 + q12) + (r15 - r13),
           (p1 - p3) + (q10 - q12) - (r13 + r15)]
+    out = [None] * Q
+    for p, (i, j) in enumerate(_PAIRS):
+        out[i] = ev[p] + od[p]
+        out[j] = ev[p] - od[p]
+    s = None
+    for i, j in _PAIRS:
+        ps = out[i] + out[j]
+        s = ps if s is None else s + ps
+    out[0] = mom[0] - s
+    return out
+
+
+def _eof_pops_c10(mom):
+    """:func:`_eof_pops` specialized to ghost moments 10..18 == 0.
+
+    This is the deterministic exact-relaxation (tau = 1/2) case: the
+    post-collide moment vector is m_eq (+ Guo forcing), whose ghost rows
+    vanish identically (LBM_binary.H:381-399 zero them), so all q/r
+    partials of the inverse drop out.  Rest population by the same
+    exact-mass telescoping.
+    """
+    a = mom[0] * (1.0 / 18.0)
+    tb = mom[5] * (1.0 / 24.0)
+    tc = mom[6] * 0.125
+    e34 = a - tb
+    d = mom[0] * (1.0 / 36.0) + mom[4] * (1.0 / 24.0)
+    p5 = mom[5] * (1.0 / 48.0)
+    p6 = mom[6] * 0.0625
+    h1 = d + (p5 + p6)
+    h2 = d - mom[5] * (1.0 / 24.0)
+    h3 = d + (p5 - p6)
+    x7 = mom[7] * 0.25
+    x8 = mom[8] * 0.25
+    x9 = mom[9] * 0.25
+    ev = [a + mom[5] * (1.0 / 12.0), e34 + tc, e34 - tc,
+          h1 + x7, h1 - x7, h2 + x8, h2 - x8, h3 + x9, h3 - x9]
+    p1 = mom[1] * (1.0 / 12.0)
+    p2 = mom[2] * (1.0 / 12.0)
+    p3 = mom[3] * (1.0 / 12.0)
+    od = [mom[1] * (1.0 / 6.0), mom[2] * (1.0 / 6.0),
+          mom[3] * (1.0 / 6.0),
+          p1 + p2, p1 - p2, p2 + p3, p2 - p3, p1 + p3, p1 - p3]
     out = [None] * Q
     for p, (i, j) in enumerate(_PAIRS):
         out[i] = ev[p] + od[p]
@@ -256,7 +330,14 @@ def _verify_eof():
     if not np.allclose(mf, M, rtol=0.0, atol=1e-13):
         return False
     pf = np.stack(_eof_pops(eye))
-    return bool(np.allclose(pf, M_INV, rtol=0.0, atol=1e-13))
+    if not np.allclose(pf, M_INV, rtol=0.0, atol=1e-13):
+        return False
+    mc = np.stack(_eof_mom_c(eye))        # conserved rows only
+    if not np.allclose(mc, M[:4], rtol=0.0, atol=1e-13):
+        return False
+    eye10 = [np.eye(10)[k] for k in range(10)]
+    pc = np.stack(_eof_pops_c10(eye10))   # columns 0..9 of M_INV
+    return bool(np.allclose(pc, M_INV[:, :10], rtol=0.0, atol=1e-13))
 
 
 _EOF_OK = _verify_eof()
@@ -271,11 +352,15 @@ _PY = 8   # y pad: sublane tiling forces 8-aligned DMA fragments
 def sd_depth(params: LBMParams) -> int:
     """Stencil depth per K = collide∘stream: streaming consumes one
     neighbor cell; the Shan-Chen force gradient (alpha0 != 0,
-    LBM_binary.H:137-168) consumes a second.  Every pad, halo and
-    recompute region scales with sd*block, so the uncoupled case (all
-    fluctuating headline configs) runs half the overlap of the coupled
-    one — which is what moves its block optimum from 2 to 3
+    LBM_binary.H:137-168) consumes a second; the alpha1 square-gradient
+    term (grad_laplacian_2nd, LBM_binary.H:170-194) composes gradient o
+    laplacian and consumes a third.  Every pad, halo and recompute
+    region scales with sd*block, so the uncoupled case (all fluctuating
+    headline configs) runs half the overlap of the coupled one — which
+    is what moves its block optimum from 2 to 3
     (benchmarks/results/block_r4.json)."""
+    if params.alpha1 != 0.0:
+        return 3
     return 2 if params.alpha0 != 0.0 else 1
 # draw-counter stride per step in the hash stream (>= 2*_NPAIR, power of
 # two so `step << 6 | draw` is injective for step < 2^25)
@@ -345,7 +430,7 @@ def _inverse_perm(p):
 
 def _choose_tile(shape: Tuple[int, int, int],
                  block: int = 1, noise_on: bool = True,
-                 use_ref: bool = False) -> Tuple[int, int]:
+                 use_ref: bool = False, sd: int = 2) -> Tuple[int, int]:
     """Pick (BX, BY) dividing (X, Y); z is always whole.
 
     The y-sweep load path (see _step_kernel) wants BY a multiple of
@@ -358,7 +443,9 @@ def _choose_tile(shape: Tuple[int, int, int],
     earlier windows; the margin was razor-thin either way), so one bx
     step down buys ~2x headroom on a gated audit path."""
     X, Y, Z = shape
-    px = 2 * block
+    # budget with the sd=2 envelope unless the caller passes the true
+    # stencil depth (sd=3 for alpha1 runs needs the wider ext slots)
+    px = max(2, sd) * block
 
     def best(n, target, mult=1):
         divs = [d for d in range(1, n + 1) if n % d == 0 and d % mult == 0]
@@ -633,7 +720,8 @@ def _k_compute(params: LBMParams, read_f, read_g, nx, ny, normals,
     equilibrium + Guo forcing moments -> MRT relax + noise kick
     (LBM_binary.H:504-511).
     """
-    has_force = params.alpha0 != 0.0
+    has_a1 = params.alpha1 != 0.0
+    has_force = params.alpha0 != 0.0 or has_a1
     noise_on = normals is not None
 
     def fs(read, idx, t):
@@ -652,21 +740,37 @@ def _k_compute(params: LBMParams, read_f, read_g, nx, ny, normals,
     gsl = [fs(read_g, idx, 0) for idx in range(Q)]
 
     if has_force:
-        # densities on the 1-extended region (for the gradient stencil)
-        def density_ext1(read):
-            acc = fs(read, 0, 1)
+        # densities on the t-extended region (t=1 for the gradient
+        # stencil; t=2 when the alpha1 grad-laplacian needs psi on ext2)
+        ext_t = 2 if has_a1 else 1
+
+        def density_ext(read, t):
+            acc = fs(read, 0, t)
             for idx in range(1, Q):
-                acc = acc + fs(read, idx, 1)
+                acc = acc + fs(read, idx, t)
             return acc
 
-        rho1 = density_ext1(read_f)
-        phi1 = density_ext1(read_g)
+        rho_t = density_ext(read_f, ext_t)
+        phi_t = density_ext(read_g, ext_t)
+        if has_a1:
+            # ext2 -> ext1 views (elementwise sums: bitwise identical
+            # to summing on ext1 directly)
+            rho1 = rho_t[1:-1, 1:-1, :]
+            phi1 = phi_t[1:-1, 1:-1, :]
+        else:
+            rho1 = rho_t
+            phi1 = phi_t
         if params.use_sc_pseudo:
             n0 = params.sc_ref_density
-            psi_rho1 = n0 * (1.0 - jnp.exp(-rho1 / n0))
-            psi_phi1 = n0 * (1.0 - jnp.exp(-phi1 / n0))
+            psi_rho_t = n0 * (1.0 - jnp.exp(-rho_t / n0))
+            psi_phi_t = n0 * (1.0 - jnp.exp(-phi_t / n0))
         else:
-            psi_rho1, psi_phi1 = rho1, phi1
+            psi_rho_t, psi_phi_t = rho_t, phi_t
+        if has_a1:
+            psi_rho1 = psi_rho_t[1:-1, 1:-1, :]
+            psi_phi1 = psi_phi_t[1:-1, 1:-1, :]
+        else:
+            psi_rho1, psi_phi1 = psi_rho_t, psi_phi_t
         rho = center(rho1)
         phi = center(phi1)
         psi_rho = center(psi_rho1)
@@ -693,31 +797,65 @@ def _k_compute(params: LBMParams, read_f, read_g, nx, ny, normals,
                         else gz + (w * cz) * nb
             return gx, gy, gz
 
-        grad_phi = gradient(psi_phi1)
-        grad_rho = gradient(psi_rho1)
+        if params.alpha0 != 0.0:
+            grad_phi = gradient(psi_phi1)
+            grad_rho = gradient(psi_rho1)
+
+        if has_a1:
+            # 19-point lattice laplacian ext2 -> ext1 (ops/stencil.py
+            # laplacian: lap psi = (2/cs^2) sum_i w_i (psi(x+c_i) - psi))
+            def lap_ext1(ps2):
+                acc = None
+                wsum = 0.0
+                for idx in range(1, Q):
+                    cx, cy, cz = (int(C[idx, 0]), int(C[idx, 1]),
+                                  int(C[idx, 2]))
+                    w = float(W[idx])
+                    nb = _roll_z(
+                        ps2[1 + cx:1 + cx + nx + 2,
+                            1 + cy:1 + cy + ny + 2, :], -cz)
+                    acc = w * nb if acc is None else acc + w * nb
+                    wsum += w
+                cpsi = ps2[1:1 + nx + 2, 1:1 + ny + 2, :]
+                return (2.0 / CS2) * (acc - wsum * cpsi)
+
+            # grad(laplacian(psi)) — the alpha1 square-gradient force
+            # (grad_laplacian_2nd, LBM_binary.H:170-194); psi applies to
+            # the innermost field only (ops/stencil.py grad_laplacian)
+            gl_phi = gradient(lap_ext1(psi_phi_t))
+            gl_rho = gradient(lap_ext1(psi_rho_t))
     else:
         rho = None  # computed from moments below
         phi = None
+
+    # Exact relaxation (tau = 1/2 -> lambda_bar = 1, the default of every
+    # reference recipe): the collision replaces ALL non-conserved moments
+    # by m_eq + forcing + noise, so the streamed state's stress/ghost
+    # moments are never consumed — the forward transform shrinks to the
+    # four conserved rows and (deterministic case) the back transform
+    # elides the identically-zero ghost rows.
+    exact_relax = (params.tau_f == 0.5 and params.tau_g == 0.5)
+    nrows = 4 if exact_relax else Q
 
     # moments: unrolled adds (VPU), parity-paired adds ("eo"), factored
     # parity-paired adds ("eof", default; "eofc" adds the compensated
     # mass row), or 19x19 matmul (MXU)
     if transform in ("eof", "eofc"):
-        mom = _eof_mom
+        mom = _eof_mom_c if exact_relax else _eof_mom
     elif transform == "mxu":
         def mom(pops):
             x = jnp.stack(pops)
             m4 = jax.lax.dot_general(
-                mmat_ref[:], x, (((1,), (0,)), ((), ())),
+                mmat_ref[:][:nrows], x, (((1,), (0,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)
-            return [m4[k] for k in range(Q)]
+            return [m4[k] for k in range(nrows)]
     elif transform == "eo":
         def mom(pops):
             sp = [pops[i] + pops[j] for i, j in _PAIRS]
             dp = [pops[i] - pops[j] for i, j in _PAIRS]
             out = []
-            for k in range(Q):
+            for k in range(nrows):
                 if _ROW_EVEN[k]:
                     c0 = float(M[k, 0])
                     acc = None if c0 == 0.0 else (
@@ -738,7 +876,7 @@ def _k_compute(params: LBMParams, read_f, read_g, nx, ny, normals,
     else:
         def mom(pops):
             out = []
-            for k in range(Q):
+            for k in range(nrows):
                 acc = None
                 for idx in range(Q):
                     c = float(M[k, idx])
@@ -776,8 +914,17 @@ def _k_compute(params: LBMParams, read_f, read_g, nx, ny, normals,
 
     if has_force:
         a0 = params.alpha0
-        af = [-CS2 * a0 * psi_rho * g * inv_rho for g in grad_phi]
-        ag = [-CS2 * a0 * psi_phi * g * inv_phi for g in grad_rho]
+        if a0 != 0.0:
+            af = [-CS2 * a0 * psi_rho * g * inv_rho for g in grad_phi]
+            ag = [-CS2 * a0 * psi_phi * g * inv_phi for g in grad_rho]
+        if has_a1:
+            a1c = params.alpha1
+            if a0 != 0.0:
+                af = [v - CS2 * a1c * g for v, g in zip(af, gl_phi)]
+                ag = [v - CS2 * a1c * g for v, g in zip(ag, gl_rho)]
+            else:
+                af = [-CS2 * a1c * g for g in gl_phi]
+                ag = [-CS2 * a1c * g for g in gl_rho]
 
     # ----------------------- noise amplitudes x normals -----------
     lam_f = params.lam_f
@@ -874,19 +1021,40 @@ def _k_compute(params: LBMParams, read_f, read_g, nx, ny, normals,
 
     inv_tf = 1.0 / (params.tau_f + 0.5)
     inv_tg = 1.0 / (params.tau_g + 0.5)
-    for k in range(Q):
-        rf = (inv_tf * (mf_eq[k] - mf[k]) if k < 10
-              else -inv_tf * mf[k])
-        rg = (inv_tg * (mg_eq[k] - mg[k]) if k < 10
-              else -inv_tg * mg[k])
-        if has_force and 1 <= k < 10:
-            rf = rf + ph_f[k]
-            rg = rg + ph_g[k]
-        mf[k] = mf[k] + rf
-        mg[k] = mg[k] + rg
-        if noise_on:
-            mf[k] = mf[k] + xi_f[k]
-            mg[k] = mg[k] + xi_g[k]
+    if exact_relax:
+        # lambda_bar = 1: post-collide = m_eq (+ Guo forcing + noise);
+        # ghost rows are pure noise — None when noise is off, which the
+        # back transforms below elide.  Mass row: m_eq[0] == the streamed
+        # mass (rho IS mf[0] on the no-force path), no noise.
+        def post(meq_l, ph_l, xi_l):
+            out = [meq_l[0]]
+            for k in range(1, 10):
+                v = meq_l[k]
+                if ph_l is not None:
+                    v = v + ph_l[k]
+                if xi_l is not None:
+                    v = v + xi_l[k]
+                out.append(v)
+            for k in range(10, Q):
+                out.append(xi_l[k] if xi_l is not None else None)
+            return out
+
+        mf = post(mf_eq, ph_f if has_force else None, xi_f)
+        mg = post(mg_eq, ph_g if has_force else None, xi_g)
+    else:
+        for k in range(Q):
+            rf = (inv_tf * (mf_eq[k] - mf[k]) if k < 10
+                  else -inv_tf * mf[k])
+            rg = (inv_tg * (mg_eq[k] - mg[k]) if k < 10
+                  else -inv_tg * mg[k])
+            if has_force and 1 <= k < 10:
+                rf = rf + ph_f[k]
+                rg = rg + ph_g[k]
+            mf[k] = mf[k] + rf
+            mg[k] = mg[k] + rg
+            if noise_on:
+                mf[k] = mf[k] + xi_f[k]
+                mg[k] = mg[k] + xi_g[k]
 
     # ------------------------------------------------- back transform
     #
@@ -900,13 +1068,19 @@ def _k_compute(params: LBMParams, read_f, read_g, nx, ny, normals,
     # up to a single (sign-varying) rounding instead of the coherent
     # 19-term accumulation — and is cheaper than correcting after the
     # fact (skips the M_INV row-0 contraction).
+    # None rows (deterministic exact-relaxation ghosts) are elided.
     if transform in ("eof", "eofc"):
-        pops_from = _eof_pops
+        def pops_from(mom_list):
+            if mom_list[10] is None:
+                return _eof_pops_c10(mom_list)
+            return _eof_pops(mom_list)
     elif transform == "mxu":
         def pops_from(mom_list):
-            m4 = jnp.stack(mom_list)
+            rows = [m_ for m_ in mom_list if m_ is not None]
+            nr = len(rows)
+            m4 = jnp.stack(rows)
             r = jax.lax.dot_general(
-                minv_ref[:], m4, (((1,), (0,)), ((), ())),
+                minv_ref[:][:, :nr], m4, (((1,), (0,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)
             out = [None] + [r[idx] for idx in range(1, Q)]
@@ -922,7 +1096,7 @@ def _k_compute(params: LBMParams, read_f, read_g, nx, ny, normals,
                 ev = od = None
                 for k in range(Q):
                     c = float(M_INV[i, k])
-                    if c == 0.0:
+                    if c == 0.0 or mom_list[k] is None:
                         continue
                     t = c * mom_list[k]
                     if _ROW_EVEN[k]:
@@ -944,7 +1118,7 @@ def _k_compute(params: LBMParams, read_f, read_g, nx, ny, normals,
                 acc = None
                 for k in range(Q):
                     c = float(M_INV[idx, k])
-                    if c == 0.0:
+                    if c == 0.0 or mom_list[k] is None:
                         continue
                     t = c * mom_list[k]
                     acc = t if acc is None else acc + t
@@ -1021,6 +1195,11 @@ def _step_kernel(params: LBMParams, shape, gdomain, bx, by, block,
     # QUARTER of the phase-0 seam-band (hash-noise) area vs the old
     # hardwired 2*block.
     sd = sd_depth(params)
+    if sd * block > _PY:
+        raise ValueError(
+            f"sd*block = {sd * block} exceeds the {_PY}-row y pad "
+            f"(Mosaic sublane alignment): cap block at {_PY // sd} for "
+            f"stencil depth {sd} (alpha1 != 0 runs sd=3)")
     px, py = sd * block, _PY
     exb, eyb = bx + 2 * px, by + 2 * py
     wx0, wy0 = win
@@ -1525,7 +1704,8 @@ def fused_stream_collide(state: SimState, params: LBMParams,
     """
     shape = tuple(state.f.shape[1:])
     tile = tile or _choose_tile(shape, block, params.noise_on,
-                                use_ref=ref is not None)
+                                use_ref=ref is not None,
+                                sd=sd_depth(params))
     # advance the key once per physical step — and draw one word per
     # step from the per-step splits — so BOTH the key trajectory and the
     # hash noise stream are identical across engines and block sizes
@@ -1559,20 +1739,28 @@ def _auto_block(params: LBMParams, shape, n_k: int, tile, block,
     and the coupled force path (b1 (16,16) = 781 wins) stay at block 1.
 
     Under the sd=1 stencil depth of the uncoupled case (round 4) the
-    recompute pads halve, which moves the optimum to block=3: at 256^3
-    determ 1625.5 (b2) -> 1657.8 (b3), fluct clt2 1252.4 -> 1282.7,
-    fluct u8 -> 1326.9; b4 and (32,16)-tile variants exceed VMEM
-    (benchmarks/results/block_r4.json).  block=3 additionally needs
-    the hybrid interior at phase 0 (bx - 2*sd*(block-1) >= 8, i.e.
-    bx >= 12 at sd=1) and n_k >= 3."""
+    recompute pads halve, and the exact-relaxation transform cut
+    (round 4c) cheapens the per-cell compute ~30-40%, re-shuffling the
+    optima — see the inline table below (relax_r4.json/relax2_r4.json).
+    Blocking additionally needs the hybrid interior at phase 0
+    (bx - 2*sd*(block-1) >= 8) and the y pad bound sd*block <= _PY."""
     if block is not None:
         return block
     if n_k < 2:
         return 1
-    if params.alpha0 != 0.0:
-        return 1
-    best = 3 if n_k >= 3 else 2
+    sdp = sd_depth(params)
+    cap = _PY // sdp   # Mosaic y-pad bound: sd*block <= _PY
+    # Post-exact-relaxation optima (benchmarks/results/relax_r4.json +
+    # relax2_r4.json, 256^3 v5e): with the transform cheapened the b3
+    # seam recompute no longer pays for its traffic saving under the
+    # cheap noise generators — fluct u8 b2 1782.3 > b3 1712.9, clt2 b2
+    # 1720.2 > b3 1648.9; only clt4's heavier per-draw cost still
+    # prefers b3 (1443.5 > 1365.9).  Deterministic runs keep gaining to
+    # b4 (2392.5 > b3 2324.9 > b2 1803.1).  Coupled (sd=2) flipped from
+    # b1 to b2: u8 1129.3 / clt2 1109.3 > b1 1003.3.
     if params.noise_on:
+        best = 3 if (noise_dist == "clt4" and sdp == 1) else 2
+        best = max(1, min(best, cap, n_k))
         # consult the tile the chooser would ACTUALLY return
         # (the VMEM budget can shrink bx below what the
         # shape's divisibility suggests, e.g. (256,256,512) -> bx=8,
@@ -1584,13 +1772,16 @@ def _auto_block(params: LBMParams, shape, n_k: int, tile, block,
             if tile is not None:
                 bx, by = tile
             else:
-                bx, by = _choose_tile(shape, b, True, use_ref=with_ref)
+                bx, by = _choose_tile(shape, b, True, use_ref=with_ref,
+                                      sd=sdp)
             if (noise_impl == "hw"
                     and noise_dist in ("clt4", "clt2", "u8")
-                    and bx - 2 * (b - 1) >= 8 and by - 2 * (b - 1) >= 8):
+                    and bx - 2 * sdp * (b - 1) >= 8
+                    and by - 2 * sdp * (b - 1) >= 8):
                 return b
         return 1
-    return best if shape[0] >= sd_depth(params) * best else 1
+    best = max(1, min(4 if sdp == 1 else 2, cap, n_k))
+    return best if shape[0] >= sdp * best else 1
 
 
 def make_ksteps(params: LBMParams, shape, n: int, tile=None,
@@ -1622,7 +1813,8 @@ def make_ksteps(params: LBMParams, shape, n: int, tile=None,
     T = _auto_block(params, shape, n, tile, block, noise_impl,
                     noise_dist, use_ref)
     T = max(1, min(T, n)) if n else 1
-    tl = tile or _choose_tile(shape, T, params.noise_on, use_ref=use_ref)
+    tl = tile or _choose_tile(shape, T, params.noise_on, use_ref=use_ref,
+                              sd=sd_depth(params))
     n_blocked, n_rest = divmod(n, T) if n else (0, 0)
 
     def run_k(s: SimState, ref2=None) -> SimState:
@@ -1658,9 +1850,10 @@ def make_nsteps(params: LBMParams, n: int, tile=None, force: bool = False,
 
     Returns jitted fn: SimState (post-stream) -> SimState (post-stream).
     Shapes the kernel cannot tile directly run in a permuted lattice frame
-    when one fits (:func:`axis_perm_for_shape`); otherwise, and for
-    alpha1 != 0, fall back to the jnp scan unless ``force`` (used by
-    interpret-mode tests).  ``perm`` overrides the automatic permutation
+    when one fits (:func:`axis_perm_for_shape`); otherwise fall back to
+    the jnp scan unless ``force`` (used by interpret-mode tests).
+    alpha1 != 0 runs on the kernel path at stencil depth 3 (block
+    capped at ``_PY // 3 == 2``).  ``perm`` overrides the automatic permutation
     choice (tests); ``tile`` is interpreted in the (permuted) kernel
     frame.  ``block`` = K-steps per kernel sweep (temporal blocking;
     None = auto: 2 when the shape affords it).  ``noise_impl`` selects
@@ -1715,8 +1908,6 @@ def make_nsteps(params: LBMParams, n: int, tile=None, force: bool = False,
 
     def run(state: SimState, ref2=None) -> SimState:
         shape = tuple(state.f.shape[1:])
-        if not force and params.alpha1 != 0.0:
-            return run_jnp(state, ref2)
         p = perm
         if p is None:
             if force or supports_shape(shape):

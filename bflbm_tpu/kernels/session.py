@@ -407,10 +407,9 @@ def make_session(params: LBMParams, shape, *, mesh=None, ref_fields=None,
                  interpret: bool = False,
                  **kernel_opts) -> Optional[_SessionBase]:
     """Session for this configuration, or None when the kernel engines
-    cannot run it (alpha1 != 0, or no axis permutation makes the shape /
-    mesh kernel-tileable) — the caller falls back to the jnp engines."""
-    if params.alpha1 != 0.0:
-        return None
+    cannot run it (no axis permutation makes the shape / mesh
+    kernel-tileable) — the caller falls back to the jnp engines.
+    alpha1 != 0 runs at stencil depth 3 (fused_step.sd_depth)."""
     if mesh is not None and mesh.size > 1:
         from ..parallel import kernel as kernel_par
 

@@ -82,9 +82,6 @@ def collide(f: jnp.ndarray, g: jnp.ndarray, h: Hydro,
             xi_f: jnp.ndarray, xi_g: jnp.ndarray,
             params: LBMParams) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One MRT collision for both species (LBM_binary.H:451-516)."""
-    mf = moments(f)
-    mg = moments(g)
-
     rho, phi = h.rho, h.phi
     v_b = (rho[None] * h.uf + phi[None] * h.ug) / (rho + phi)[None]
 
@@ -93,10 +90,22 @@ def collide(f: jnp.ndarray, g: jnp.ndarray, h: Hydro,
     phi_f = force_moments(rho, h.uf, h.af, params.tau_f)
     phi_g = force_moments(phi, h.ug, h.ag, params.tau_g)
 
-    inv_tf = 1.0 / params.tau_f_bar
-    inv_tg = 1.0 / params.tau_g_bar
-    mf = mf + inv_tf * (mf_eq - mf) + phi_f + xi_f
-    mg = mg + inv_tg * (mg_eq - mg) + phi_g + xi_g
+    if params.tau_f == 0.5 and params.tau_g == 0.5:
+        # Exact relaxation (lambda_bar = 1, the default of every
+        # reference recipe): the collision replaces every non-conserved
+        # moment by m_eq + Phi + xi outright — the incoming moments are
+        # never consumed, so the forward transform is skipped entirely
+        # (rho/u already live in h).  Mass row: m_eq[0] = h.rho, the
+        # population sum hydrovars_bar computed.
+        mf = mf_eq + phi_f + xi_f
+        mg = mg_eq + phi_g + xi_g
+    else:
+        mf = moments(f)
+        mg = moments(g)
+        inv_tf = 1.0 / params.tau_f_bar
+        inv_tg = 1.0 / params.tau_g_bar
+        mf = mf + inv_tf * (mf_eq - mf) + phi_f + xi_f
+        mg = mg + inv_tg * (mg_eq - mg) + phi_g + xi_g
 
     f1 = populations(mf)
     g1 = populations(mg)

@@ -161,8 +161,7 @@ def run(cfg: RunConfig, *, mesh=None, engine: str = "auto",
     # interpret mode (single-tile shards; see kernels/session.py)
     interp = not on_tpu and bool(os.environ.get("BFLBM_SESSION_INTERPRET"))
     multi = mesh is not None and mesh.size > 1
-    if engine in ("auto", "pallas") and (on_tpu or interp) \
-            and p.alpha1 == 0.0:
+    if engine in ("auto", "pallas") and (on_tpu or interp):
         # Persistent post-collide kernel session (kernels/session.py):
         # one jnp entry at run start, chunks advance RESIDENT in
         # post-collide space, and the ~130 ms boundary conversion is

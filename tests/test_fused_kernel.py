@@ -55,6 +55,47 @@ def test_fused_matches_jnp_deterministic(alpha0, shape):
     np.testing.assert_array_equal(np.asarray(got.key), np.asarray(ref.key))
 
 
+@pytest.mark.parametrize("alpha0,alpha1", [(0.0, 0.8), (1.5, 0.8)])
+def test_fused_matches_jnp_alpha1(alpha0, alpha1):
+    """alpha1 != 0 on the kernel path (round 4): the square-gradient
+    force grad_laplacian_2nd (LBM_binary.H:170-194) runs in-kernel at
+    stencil depth 3 and must match the jnp stencil composition."""
+    shape = (8, 8, 8)
+    params = LBMParams(alpha0=alpha0, alpha1=alpha1, kBT=0.0, kappa=0.1,
+                       rho_lo=0.1, rho_hi=3.0)
+    state = model.init_droplet(shape, params, dtype=jnp.float32, radius=0.3)
+
+    n = 3
+    ref = state
+    for _ in range(n):
+        ref, _ = model.step(ref, params)
+
+    with pltpu.force_tpu_interpret_mode():
+        run = fused_step.make_nsteps(params, n, force=True,
+                                     tile=(shape[0], shape[1]), block=1)
+        got = run(state)
+
+    assert int(got.step) == n
+    np.testing.assert_allclose(np.asarray(got.f), np.asarray(ref.f),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got.g), np.asarray(ref.g),
+                               rtol=0, atol=2e-5)
+
+
+def test_sd_block_y_pad_guard():
+    """sd*block beyond the 8-row Mosaic y pad must raise, not corrupt:
+    alpha1 (sd=3) caps block at 2."""
+    params = LBMParams(alpha1=0.8, kBT=0.0, kappa=0.1,
+                       rho_lo=0.1, rho_hi=3.0)
+    state = model.init_droplet((16, 16, 8), params, dtype=jnp.float32,
+                               radius=0.3)
+    with pytest.raises(ValueError, match="y pad"):
+        with pltpu.force_tpu_interpret_mode():
+            # n=4 -> 3 K-steps so T is not capped below the requested 3
+            fused_step.make_nsteps(params, 4, force=True,
+                                   tile=(16, 16), block=3)(state)
+
+
 @pytest.mark.parametrize("perm", [(0, 2, 1), (1, 2, 0), (2, 1, 0)])
 def test_lattice_permutation_equivariance(perm):
     """D3Q19 + MRT + forcing is exactly equivariant under coordinate

@@ -213,7 +213,8 @@ def test_sharded_session_z_mesh_fluct_matches_permuted_single():
 
 def test_make_session_gates():
     """make_session declines configurations the kernel engines cannot
-    run (alpha1 != 0; shapes with no kernel-tileable permutation)."""
-    assert make_session(LBMParams(alpha1=0.1), (8, 8, 128)) is None
+    run (shapes with no kernel-tileable permutation); alpha1 != 0 now
+    runs the kernel path at stencil depth 3 (round 4)."""
+    assert make_session(LBMParams(alpha1=0.1), (8, 8, 128)) is not None
     assert make_session(LBMParams(), (9, 9, 100)) is None
     assert make_session(LBMParams(), (8, 8, 128)) is not None
