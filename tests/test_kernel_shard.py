@@ -55,6 +55,27 @@ def test_kernel_shard_matches_jnp_deterministic(mesh_shape, block):
                                rtol=0, atol=2e-5)
 
 
+def test_kernel_shard_alpha1_matches_jnp():
+    """alpha1 != 0 (stencil depth 3) through the shard_map halo
+    exchange: the sd*T-deep x halos and pad_to y halos must feed the
+    in-kernel grad-laplacian the same neighborhood the jnp stencil
+    composition sees."""
+    params = LBMParams(alpha0=1.5, alpha1=0.6, kBT=0.0, kappa=0.1,
+                       rho_lo=0.1, rho_hi=3.0)
+    shape = (16, 32, 128)
+    state = model.init_droplet(shape, params, dtype=jnp.float32, radius=0.3)
+    n = 4
+    ref = state
+    for _ in range(n):
+        ref, _ = model.step(ref, params)
+    got = _run((2, 4, 1), state, params, n, block=1)
+    assert int(got.step) == n
+    np.testing.assert_allclose(np.asarray(got.f), np.asarray(ref.f),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got.g), np.asarray(ref.g),
+                               rtol=0, atol=2e-5)
+
+
 def test_kernel_shard_noise_mesh_invariance():
     """Hash noise is keyed by global coordinates, so the fluctuating
     trajectory is the same for every mesh layout (up to FMA-contraction
