@@ -114,6 +114,65 @@ def mesh_axis_perm(mesh: Mesh, shape, block: int = 2):
     return best
 
 
+def _pad_exchange_x(a, px, n_int, y0, n_y):
+    """Refresh the x pad slabs of a padded-layout array [px | n_int | px]
+    along local axis 1 (mesh axis "x"): ship the px-deep interior
+    boundary strips to the ring neighbors and write them into the pads
+    IN PLACE (dynamic_update_slice — no full-array concat).  Strips span
+    only the interior y rows [y0, y0+n_y) (the y pads are refreshed
+    AFTER x, full-width, which is what fills the diagonal corners —
+    same two-hop order as the old concat exchange)."""
+    lo_src = jax.lax.slice(
+        a, (0, px, y0, 0),
+        (a.shape[0], 2 * px, y0 + n_y, a.shape[3]))
+    hi_src = jax.lax.slice(
+        a, (0, n_int, y0, 0),
+        (a.shape[0], n_int + px, y0 + n_y, a.shape[3]))
+    n = jax.lax.psum(1, "x")
+    if n == 1:
+        lo_halo, hi_halo = hi_src, lo_src
+    else:
+        fwd = [(i, (i + 1) % n) for i in range(n)]
+        bwd = [(i, (i - 1) % n) for i in range(n)]
+        # my left pad = right edge of left neighbor (data moves +1)
+        lo_halo = jax.lax.ppermute(hi_src, "x", fwd)
+        hi_halo = jax.lax.ppermute(lo_src, "x", bwd)
+    a = jax.lax.dynamic_update_slice(a, lo_halo, (0, 0, y0, 0))
+    a = jax.lax.dynamic_update_slice(a, hi_halo, (0, n_int + px, y0, 0))
+    return a
+
+
+def _pad_exchange_y(a, py, ship, n_int, fill_zeros=True):
+    """Refresh the y pad slabs [py | n_int | py] along local axis 2
+    (mesh axis "y"): ship only the `ship` consumed rows (full padded x
+    width — the x pads were just refreshed, so this carries the corner
+    data), zero-fill the py - ship Mosaic-alignment rows (bitwise what
+    exchange_halo(pad_to=) produced).  fill_zeros=False skips the
+    zero rows for buffers whose pads persist across sweeps (the
+    ping-pong carry: laid down once at phase entry, never written
+    after)."""
+    lo_src = jax.lax.slice_in_dim(a, py, py + ship, axis=2)
+    hi_src = jax.lax.slice_in_dim(a, py + n_int - ship, py + n_int,
+                                  axis=2)
+    n = jax.lax.psum(1, "y")
+    if n == 1:
+        lo_halo, hi_halo = hi_src, lo_src
+    else:
+        fwd = [(i, (i + 1) % n) for i in range(n)]
+        bwd = [(i, (i - 1) % n) for i in range(n)]
+        lo_halo = jax.lax.ppermute(hi_src, "y", fwd)
+        hi_halo = jax.lax.ppermute(lo_src, "y", bwd)
+    a = jax.lax.dynamic_update_slice(a, lo_halo, (0, 0, py - ship, 0))
+    a = jax.lax.dynamic_update_slice(a, hi_halo, (0, 0, py + n_int, 0))
+    if fill_zeros and py > ship:
+        zshape = (a.shape[0], a.shape[1], py - ship, a.shape[3])
+        z = jnp.zeros(zshape, a.dtype)
+        a = jax.lax.dynamic_update_slice(a, z, (0, 0, 0, 0))
+        a = jax.lax.dynamic_update_slice(
+            a, z, (0, 0, py + n_int + ship, 0))
+    return a
+
+
 def make_kernel_nsteps(mesh: Mesh, params: LBMParams, n: int,
                        block: int = 2, tile=None, mode: str = "auto",
                        transform: str = _DEFAULT_TRANSFORM,
@@ -300,6 +359,63 @@ def _make_advance(mesh: Mesh, params: LBMParams, block, tile, mode,
         # of riding the ICI exchange (4x y-volume cut at uncoupled b2)
         py_ship = min(px, _PY)
 
+        if not split:
+            # --- serial sweep, PADDED-CARRY layout: the state flows
+            # between sweeps in the kernel's ext layout
+            # (Q, Xl + 2*px, Yl + 2*_PY, Z).  Each sweep refreshes ONLY
+            # the pad slabs (ppermute strips + in-place
+            # dynamic_update_slice) and the kernel writes its interior
+            # output window into a same-layout buffer (odomain/owin) —
+            # eliminating the full-local-block concat the old exchange
+            # materialized every sweep (measured: the fixed ~3.5 ms/step
+            # it cost dominated the sharded path once the exact-
+            # relaxation cut made the compute cheaper; single-device
+            # 1720 vs sharded-serial 1177 MLUPS at fluct b2 clt2,
+            # overlap_r4c.json).  The kernel reads bitwise-identical ext
+            # values: strips adjacent to the interior carry the shipped
+            # rows, the Mosaic-alignment remainder is zero-filled —
+            # exactly what exchange_halo(pad_to=) assembled.
+            # The state flows between sweeps in the padded layout;
+            # each sweep refreshes only the pad slabs (ppermute strips +
+            # in-place dynamic_update_slice) and the kernel writes its
+            # interior window into a fresh same-layout buffer.  The
+            # Mosaic-alignment rows beyond the py_ship consumed rows are
+            # zero-filled per sweep (fresh pallas outputs hold garbage
+            # there; the rows are provably unconsumed — r4b replaced
+            # real shipped data with zeros bitwise — but deterministic
+            # zeros keep every buffer-content invariant testable).
+            # NOTE an input_output_aliases ping-pong variant (pads
+            # persist, no zero refill) measured SLOWER (858 vs 1393
+            # MLUPS): XLA inserts defensive copies for aliased scan
+            # carries.
+            pXl, pYl = Xl + 2 * px, Yl + 2 * _PY
+
+            def local_sweep_padded(f_pad, g_pad, words, step0,
+                                   *maybe_ref):
+                r_pad = maybe_ref[0] if maybe_ref else None
+                f_pad = _pad_exchange_x(f_pad, px, Xl, _PY, Yl)
+                g_pad = _pad_exchange_x(g_pad, px, Xl, _PY, Yl)
+                f_pad = _pad_exchange_y(f_pad, _PY, py_ship, Yl)
+                g_pad = _pad_exchange_y(g_pad, _PY, py_ship, Yl)
+                ox0 = (jax.lax.axis_index("x") * Xl).astype(jnp.int32)
+                oy0 = (jax.lax.axis_index("y") * Yl).astype(jnp.int32)
+                seed = jnp.concatenate(
+                    [words, jnp.stack([step0]),
+                     jnp.stack([ox0, oy0]).astype(jnp.int32)])
+                return call(shape_loc,
+                            tl if not interpret else (Xl, Yl),
+                            seed, f_pad, g_pad, r_pad,
+                            odomain=(pXl, pYl, Zl), owin=(px, _PY))
+
+            sm = shard_map(
+                local_sweep_padded, mesh=mesh,
+                in_specs=(pspec, pspec, P(), P())
+                + ((pspec,) if use_ref else ()),
+                out_specs=(pspec, pspec),
+                check_vma=False,
+            )
+            return sm, (px, py_ship)
+
         def local_sweep(f_loc, g_loc, words, step0, *maybe_ref):
             r_loc = maybe_ref[0] if maybe_ref else None
             f_ext, g_ext = f_loc, g_loc
@@ -320,10 +436,6 @@ def _make_advance(mesh: Mesh, params: LBMParams, block, tile, mode,
                 return jnp.concatenate(
                     [base, jnp.stack([ox0 + jnp.int32(dx),
                                       oy0 + jnp.int32(dy)])])
-
-            if not split:
-                return call(shape_loc, tl if not interpret else (Xl, Yl),
-                            seed_at(0, 0), f_ext, g_ext, r_ext)
 
             # --- split sweep: interior first in program order, seam
             # bands after; only the bands read f_ext (the collectives'
@@ -387,13 +499,14 @@ def _make_advance(mesh: Mesh, params: LBMParams, block, tile, mode,
 
         # check_vma=False: pallas_call outputs carry no varying-mesh-axes
         # annotation, which the checker would otherwise reject
-        return shard_map(
+        sm = shard_map(
             local_sweep, mesh=mesh,
             in_specs=(pspec, pspec, P(), P())
             + ((pspec,) if use_ref else ()),
             out_specs=(pspec, pspec),
             check_vma=False,
         )
+        return sm, None
 
     def advance(state: SimState, ref2, n_k: int) -> SimState:
         gshape = tuple(state.f.shape[1:])
@@ -413,9 +526,10 @@ def _make_advance(mesh: Mesh, params: LBMParams, block, tile, mode,
 
         T = max(1, min(block, n_k)) if n_k else 1
         n_blocked, n_rest = divmod(n_k, T) if n_k else (0, 0)
+        Xl, Yl, Zl = shape_loc
 
-        def make_body(sweep_sm, T_):
-            ref_args = () if ref2 is None else (ref2,)
+        def make_body(sweep_sm, T_, ref_arg):
+            ref_args = () if ref_arg is None else (ref_arg,)
 
             def body(carry, _):
                 f, g, key, step = carry
@@ -433,16 +547,70 @@ def _make_advance(mesh: Mesh, params: LBMParams, block, tile, mode,
                 return (f, g, k, step + T_), None
             return body
 
+        # padded-carry plumbing (serial sweeps): enter/leave the kernel
+        # ext layout once per phase, not per sweep
+        def pad_sm(px_):
+            def pad_one(x_loc):
+                buf = jnp.zeros(
+                    (x_loc.shape[0], Xl + 2 * px_, Yl + 2 * _PY, Zl),
+                    x_loc.dtype)
+                return jax.lax.dynamic_update_slice(
+                    buf, x_loc, (0, px_, _PY, 0))
+            return shard_map(pad_one, mesh=mesh, in_specs=(pspec,),
+                             out_specs=pspec, check_vma=False)
+
+        def unpad_sm(px_):
+            def unpad_one(x_pad):
+                return jax.lax.slice(
+                    x_pad, (0, px_, _PY, 0),
+                    (x_pad.shape[0], px_ + Xl, _PY + Yl, Zl))
+            return shard_map(unpad_one, mesh=mesh, in_specs=(pspec,),
+                             out_specs=pspec, check_vma=False)
+
+        def prep_ref_sm(px_, ship):
+            # the USE_REF_STATE stack is static over the n_k steps: pad
+            # AND fill its halos ONCE (the old path re-exchanged it
+            # every sweep)
+            def one(r_loc):
+                buf = jnp.zeros(
+                    (r_loc.shape[0], Xl + 2 * px_, Yl + 2 * _PY, Zl),
+                    r_loc.dtype)
+                buf = jax.lax.dynamic_update_slice(
+                    buf, r_loc, (0, px_, _PY, 0))
+                buf = _pad_exchange_x(buf, px_, Xl, _PY, Yl)
+                buf = _pad_exchange_y(buf, _PY, ship, Yl)
+                return buf
+            return shard_map(one, mesh=mesh, in_specs=(pspec,),
+                             out_specs=pspec, check_vma=False)
+
+        def run_phase(carry, T_, n_sweeps, use_scan):
+            sweep_sm, pads = make_sweep(T_, shape_loc, gshape)
+            f, g, key, step = carry
+            ref_arg = ref2
+            if pads is not None:
+                px_, ship = pads
+                f = pad_sm(px_)(f)
+                g = pad_sm(px_)(g)
+                if ref2 is not None:
+                    ref_arg = prep_ref_sm(px_, ship)(ref2)
+            body = make_body(sweep_sm, T_, ref_arg)
+            c = (f, g, key, step)
+            if use_scan and n_sweeps > 1:
+                c, _ = jax.lax.scan(body, c, None, length=n_sweeps)
+            else:
+                for _ in range(n_sweeps):
+                    c, _ = body(c, None)
+            f, g, key, step = c
+            if pads is not None:
+                f = unpad_sm(pads[0])(f)
+                g = unpad_sm(pads[0])(g)
+            return (f, g, key, step)
+
         carry = (state.f, state.g, state.key, state.step)
         if n_blocked:
-            sweep_sm = make_sweep(T, shape_loc, gshape)
-            carry, _ = jax.lax.scan(make_body(sweep_sm, T), carry, None,
-                                    length=n_blocked)
+            carry = run_phase(carry, T, n_blocked, True)
         if n_rest:
-            sweep1 = make_sweep(1, shape_loc, gshape)
-            body1 = make_body(sweep1, 1)
-            for _ in range(n_rest):
-                carry, _ = body1(carry, None)
+            carry = run_phase(carry, 1, n_rest, False)
         f, g, key, step = carry
         return SimState(f=f, g=g, key=key, step=step)
 
