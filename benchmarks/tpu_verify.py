@@ -420,7 +420,15 @@ def throughput(fast):
              ("fluct_b2_clt2", dict(alpha0=0.0, kBT=1e-5),
               dict(block=2, noise_dist="clt2")),
              ("coupled_clt2", dict(alpha0=1.5, kBT=1e-5),
-              dict(noise_dist="clt2"))]
+              dict(noise_dist="clt2")),
+             # the r4c scored rungs (exact-relaxation optima,
+             # relax_r4/relax2_r4): u8 single-byte deviates at the
+             # fluct b2 optimum; determ block=4
+             ("fluct_b2_u8", dict(alpha0=0.0, kBT=1e-5),
+              dict(block=2, noise_dist="u8")),
+             ("determ_b4", dict(alpha0=0.0, kBT=0.0), dict(block=4)),
+             ("coupled_b2_u8", dict(alpha0=1.5, kBT=1e-5),
+              dict(block=2, noise_dist="u8"))]
     if fast:
         cases = cases[:2]
     for name, pkw, nkw in cases:

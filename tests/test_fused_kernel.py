@@ -55,6 +55,33 @@ def test_fused_matches_jnp_deterministic(alpha0, shape):
     np.testing.assert_array_equal(np.asarray(got.key), np.asarray(ref.key))
 
 
+def test_fused_matches_jnp_general_tau():
+    """tau != 1/2 exercises the GENERAL relaxation branch of both
+    engines (the exact-relaxation fast path, lambda_bar = 1, covers
+    every reference recipe — this pins the m + (m_eq - m)/tau_bar
+    algebra both fall back to)."""
+    shape = (8, 8, 8)
+    params = LBMParams(alpha0=1.5, kBT=0.0, kappa=0.1, tau_f=0.7,
+                       tau_g=0.6, rho_lo=0.1, rho_hi=3.0)
+    state = model.init_droplet(shape, params, dtype=jnp.float32, radius=0.3)
+
+    n = 3
+    ref = state
+    for _ in range(n):
+        ref, _ = model.step(ref, params)
+
+    with pltpu.force_tpu_interpret_mode():
+        run = fused_step.make_nsteps(params, n, force=True,
+                                     tile=(shape[0], shape[1]), block=1)
+        got = run(state)
+
+    assert int(got.step) == n
+    np.testing.assert_allclose(np.asarray(got.f), np.asarray(ref.f),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got.g), np.asarray(ref.g),
+                               rtol=0, atol=2e-5)
+
+
 @pytest.mark.parametrize("alpha0,alpha1", [(0.0, 0.8), (1.5, 0.8)])
 def test_fused_matches_jnp_alpha1(alpha0, alpha1):
     """alpha1 != 0 on the kernel path (round 4): the square-gradient
