@@ -55,6 +55,32 @@ def test_fused_matches_jnp_deterministic(alpha0, shape):
     np.testing.assert_array_equal(np.asarray(got.key), np.asarray(ref.key))
 
 
+def test_auto_block_policy():
+    """Pin the measured block optima (relax_r4/relax2_r4/relax3_r4,
+    256^3 v5e, post exact-relaxation): fluct u8/clt2 -> 2, clt4 -> 3,
+    determ -> 4, coupled -> 2, alpha1 (sd=3) capped by the y pad."""
+    from bflbm_tpu.kernels.fused_step import _auto_block
+
+    sh = (256, 256, 256)
+
+    def pick(params, dist="clt4"):
+        return _auto_block(params, sh, 100, None, None, "hw", dist,
+                           False)
+
+    fluct = LBMParams(alpha0=0.0, kBT=1e-5)
+    assert pick(fluct, "u8") == 2
+    assert pick(fluct, "clt2") == 2
+    assert pick(fluct, "clt4") == 3
+    assert pick(LBMParams(alpha0=0.0, kBT=0.0)) == 4
+    assert pick(LBMParams(alpha0=1.1, kBT=1e-5), "u8") == 2
+    # alpha1 runs sd=3: block capped at _PY // 3 == 2 even when a
+    # deeper block is nominally preferred
+    assert pick(LBMParams(alpha0=1.1, alpha1=0.5, kBT=1e-5), "u8") <= 2
+    assert pick(LBMParams(alpha1=0.5, kBT=0.0)) <= 2
+    # explicit block always wins
+    assert _auto_block(fluct, sh, 100, None, 5, "hw", "u8", False) == 5
+
+
 def test_fused_matches_jnp_general_tau():
     """tau != 1/2 exercises the GENERAL relaxation branch of both
     engines (the exact-relaxation fast path, lambda_bar = 1, covers
