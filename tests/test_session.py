@@ -211,6 +211,32 @@ def test_sharded_session_z_mesh_fluct_matches_permuted_single():
                                rtol=1e-3, atol=5e-6)
 
 
+def test_fused_session_alpha1_matches_jnp():
+    """alpha1 != 0 through the session path (round 4c: stencil depth 3
+    in the kernel) — the full enter/advance/exit loop must match the
+    jnp trajectory."""
+    params = LBMParams(alpha0=1.2, alpha1=0.5, kBT=0.0, kappa=0.1,
+                       rho_lo=0.1, rho_hi=3.0)
+    shape = (8, 8, 128)
+    state = model.init_droplet(shape, params, dtype=jnp.float32,
+                               radius=0.3)
+    n = 3
+    ref = _copy(state)
+    for _ in range(n):
+        ref, _ = model.step(ref, params)
+
+    sess = FusedSession(params, shape, interpret=True, tile=(8, 8),
+                        **_OPTS)
+    pc = sess.enter(_copy(state))
+    pc = sess.advance(pc, n - 1)
+    got = sess.exit_view(pc)
+    assert int(got.step) == n
+    np.testing.assert_allclose(np.asarray(got.f), np.asarray(ref.f),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got.g), np.asarray(ref.g),
+                               rtol=0, atol=2e-5)
+
+
 def test_make_session_gates():
     """make_session declines configurations the kernel engines cannot
     run (shapes with no kernel-tileable permutation); alpha1 != 0 now
