@@ -1134,7 +1134,7 @@ def _k_compute(params: LBMParams, read_f, read_g, nx, ny, normals,
 
 def _step_kernel(params: LBMParams, shape, gdomain, bx, by, block,
                  noise_on, mode, transform, noise_impl, noise_dist,
-                 ext_mode, use_ref, win, owin, has_alias,
+                 ext_mode, use_ref, win, owin, has_alias, wrap_y,
                  mmat_ref, minv_ref, seed_ref,
                  fc_hbm, gc_hbm, *hbm_rest):
     """Grid program: `block` K-steps on one (bx, by, Z) interior tile.
@@ -1208,6 +1208,18 @@ def _step_kernel(params: LBMParams, shape, gdomain, bx, by, block,
         "win/owin require ext_mode"
     assert wy0 % 8 == 0 and oy0_ % 8 == 0, \
         "window y origins must be sublane-aligned"
+    # wrap_y: the kernel itself maintains the output's _PY-deep y pad
+    # slabs with PERIODIC wrap data — y-edge tiles issue one extra
+    # 8-row-aligned out DMA into the opposite pad (tile jj == 0 writes
+    # its rows [0, _PY) to the HIGH pad; jj == gy-1 writes rows
+    # [by-_PY, by) to the LOW pad).  For meshes with y UNSHARDED (every
+    # 1-D production mesh: kernels/session permutes sharded z onto x)
+    # this replaces the per-sweep y halo exchange entirely, whose 2-row
+    # strided slice/DUS ops measured ~0.92 ms/step at 256^3 — the
+    # dominant sharded-path residual (benchmarks/results/shard_r4e.json).
+    # The extra write rides the overlapped out-DMA phase.
+    assert not wrap_y or (ext_mode and oy0_ == _PY and not has_alias), \
+        "wrap_y needs the y-padded serial-sweep layout"
 
     xsizes = (px, bx, px)
     ysizes = (py, by, py)
@@ -1332,6 +1344,52 @@ def _step_kernel(params: LBMParams, shape, gdomain, bx, by, block,
                     sems_out.at[slot, si],
                 ))
             return cps
+
+        def pad_copies(tt, slot, hi_pad):
+            """wrap_y extra out DMAs (see the wrap_y note above):
+            hi_pad=True copies the tile's LOW _PY rows into the output's
+            HIGH pad slab (rows [oy0_ + Y, oy0_ + Y + _PY)); hi_pad=False
+            copies its HIGH _PY rows into the LOW pad (rows [0, _PY)).
+            All offsets static-8-aligned; same x range as the main copy."""
+            ii = tt // gy
+            src_y = 0 if hi_pad else by - _PY
+            dst_y = oy0_ + Y if hi_pad else 0
+            cps = []
+            for si, dst in enumerate((fout_hbm, gout_hbm)):
+                src = out_f2 if si == 0 else out_g2
+                cps.append(pltpu.make_async_copy(
+                    src.at[slot, :, :, pl.ds(src_y, _PY), :],
+                    dst.at[:, pl.ds(ox0_ + ii * bx, bx),
+                           pl.ds(dst_y, _PY), :],
+                    sems_out.at[slot, (2 if hi_pad else 4) + si],
+                ))
+            return cps
+
+        def start_pad_copies(tt, slot):
+            jj = jax.lax.rem(tt, jnp.int32(gy))
+
+            @pl.when(jj == 0)
+            def _():
+                for cp in pad_copies(tt, slot, True):
+                    cp.start()
+
+            @pl.when(jj == gy - 1)
+            def _():
+                for cp in pad_copies(tt, slot, False):
+                    cp.start()
+
+        def wait_pad_copies(tt, slot):
+            jj = jax.lax.rem(tt, jnp.int32(gy))
+
+            @pl.when(jj == 0)
+            def _():
+                for cp in pad_copies(tt, slot, True):
+                    cp.wait()
+
+            @pl.when(jj == gy - 1)
+            def _():
+                for cp in pad_copies(tt, slot, False):
+                    cp.wait()
 
         slot = jax.lax.rem(t, jnp.int32(2))
         nslot = jax.lax.rem(t + 1, jnp.int32(2))
@@ -1528,6 +1586,8 @@ def _step_kernel(params: LBMParams, shape, gdomain, bx, by, block,
         def _():
             for cp in out_copies(t - 2, slot):
                 cp.wait()
+            if wrap_y:
+                wait_pad_copies(t - 2, slot)
 
         ext_f = ext_f2.at[slot]
         ext_g = ext_g2.at[slot]
@@ -1585,17 +1645,24 @@ def _step_kernel(params: LBMParams, shape, gdomain, bx, by, block,
         # ------------------------------------------------- write back
         for cp in out_copies(t, slot):
             cp.start()
+        if wrap_y:
+            start_pad_copies(t, slot)
 
         # drain the last two tiles' writes before the kernel exits
         @pl.when(t == n_tiles - 1)
         def _():
             for cp in out_copies(t, slot):
                 cp.wait()
+            if wrap_y:
+                wait_pad_copies(t, slot)
             if n_tiles > 1:
                 @pl.when(t >= 1)
                 def _():
                     for cp in out_copies(t - 1, jax.lax.rem(t + 1, jnp.int32(2))):
                         cp.wait()
+                    if wrap_y:
+                        wait_pad_copies(
+                            t - 1, jax.lax.rem(t + 1, jnp.int32(2)))
 
     scope = dict(
         ext_f2=pltpu.VMEM((2, Q, exb, eyb, Z), fout_hbm.dtype),
@@ -1603,7 +1670,7 @@ def _step_kernel(params: LBMParams, shape, gdomain, bx, by, block,
         out_f2=pltpu.VMEM((2, Q, bx, by, Z), fout_hbm.dtype),
         out_g2=pltpu.VMEM((2, Q, bx, by, Z), fout_hbm.dtype),
         sems_in=pltpu.SemaphoreType.DMA((2, 27 if use_ref else 18)),
-        sems_out=pltpu.SemaphoreType.DMA((2, 2)),
+        sems_out=pltpu.SemaphoreType.DMA((2, 6 if wrap_y else 2)),
     )
     if use_ref:
         scope["ext_r2"] = pltpu.VMEM((2, 2, exb, eyb, Z), fout_hbm.dtype)
@@ -1615,7 +1682,7 @@ def _fused_step_call(params: LBMParams, shape, tile, noise_on,
                      block=1, noise_impl="hw", noise_dist="clt4",
                      gdomain=None, ext_mode=False, interpret=False,
                      ref=None, win=(0, 0), odomain=None, owin=(0, 0),
-                     out_alias=None):
+                     out_alias=None, wrap_y=False):
     """`block` K-steps over the (local) domain `shape`.
 
     seed = int32 [word_0..word_{block-1}, step] (periodic mode) or
@@ -1651,11 +1718,13 @@ def _fused_step_call(params: LBMParams, shape, tile, noise_on,
     odomain = tuple(odomain) if odomain is not None else (X, Y, Z)
     assert odomain[0] >= owin[0] + X and odomain[1] >= owin[1] + Y, \
         (odomain, shape, owin)
+    assert not wrap_y or (owin[1] == _PY and odomain[1] == Y + 2 * _PY), \
+        (odomain, shape, owin)
     kern = functools.partial(_step_kernel, params, shape,
                              gdomain or shape, bx, by, block,
                              noise_on, mode, transform, noise_impl,
                              noise_dist, ext_mode, use_ref, tuple(win),
-                             tuple(owin), out_alias is not None)
+                             tuple(owin), out_alias is not None, wrap_y)
     out_shape = [jax.ShapeDtypeStruct((Q,) + odomain, fc.dtype)] * 2
     mmat = jnp.asarray(M, fc.dtype)
     minv = jnp.asarray(M_INV, fc.dtype)

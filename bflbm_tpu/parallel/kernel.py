@@ -32,6 +32,16 @@ the ppermute; the alignment remainder is zero-filled locally
 (exchange_halo pad_to), so the y ICI volume matches the stencil, not
 the alignment.
 
+When the mesh leaves y UNSHARDED (every 1-D production layout — the
+session permutes a sharded z onto x, and mesh_axis_perm prefers
+y-unsharded permutations) the serial sweep runs NO y exchange at all:
+the kernel maintains the output's y pad slabs with periodic wrap data
+via two extra 8-row-aligned out DMAs per y-edge tile (fused_step
+wrap_y), and the x strips ship full height so the pad rows' corners
+refresh through the x exchange.  The y slice/DUS ops this removes are
+2-row strided pieces and measured ~0.92 ms/step at 256^3 — ~95% of the
+whole exchange cost (benchmarks/results/shard_r4e.json).
+
 Noise: all non-final temporal phases use the coordinate-keyed hash
 stream (`hash_normals`) keyed by GLOBAL cell coordinates (the shard
 origin rides in the kernel's scalar operands), so the overlap regions
@@ -98,20 +108,27 @@ def mesh_axis_perm(mesh: Mesh, shape, block: int = 2):
     8/128-aligned local y/z extents, so e.g. a ``--mesh 1 1 8``
     z-slab layout runs as an x-slab layout in the permuted lattice
     frame (D3Q19+MRT+FDT is exactly permutation-equivariant — see
-    fused_step.axis_perm_for_shape).  Identity is preferred; ties break
-    toward the largest lane (z) extent."""
+    fused_step.axis_perm_for_shape).  Preference order: a permutation
+    leaving the mesh's y axis UNSHARDED (the serial sweep then runs the
+    kernel-maintained wrap_y pads instead of the ~0.92 ms/step strided
+    y exchange — shard_r4e.json), then identity, then the largest lane
+    (z) extent.  In particular every 1-D mesh lands y-unsharded."""
     shape = tuple(shape)
     sizes = tuple(mesh.shape[a] for a in mesh_lib.SPATIAL_AXES)
-    if _supports_sizes(sizes, shape, block):
-        return (0, 1, 2)
-    best = None
-    for p in ((0, 2, 1), (1, 0, 2), (2, 0, 1), (1, 2, 0), (2, 1, 0)):
+    cands = []
+    for p in ((0, 1, 2), (0, 2, 1), (1, 0, 2), (2, 0, 1), (1, 2, 0),
+              (2, 1, 0)):
         sp = tuple(shape[a] for a in p)
         mp = tuple(sizes[a] for a in p)
         if _supports_sizes(mp, sp, block):
-            if best is None or sp[2] > tuple(shape[a] for a in best)[2]:
-                best = p
-    return best
+            cands.append(p)
+    if not cands:
+        return None
+
+    def score(p):
+        return (sizes[p[1]] == 1, p == (0, 1, 2), shape[p[2]])
+
+    return max(cands, key=score)
 
 
 def _pad_exchange_x(a, px, n_int, y0, n_y):
@@ -322,13 +339,14 @@ def _make_advance(mesh: Mesh, params: LBMParams, block, tile, mode,
                                   use_ref=use_ref)
 
         def call(shape_c, tl_c, seed, fi, gi, ri=None, win=(0, 0),
-                 odomain=None, owin=(0, 0), out_alias=None):
+                 odomain=None, owin=(0, 0), out_alias=None,
+                 wrap_y=False):
             return _fused_step_call(
                 params, shape_c, tl_c, params.noise_on, seed, fi, gi,
                 mode, transform, T, noise_impl, noise_dist,
                 gdomain=gdomain, ext_mode=True, interpret=interpret,
                 ref=ri, win=win, odomain=odomain, owin=owin,
-                out_alias=out_alias)
+                out_alias=out_alias, wrap_y=wrap_y)
 
         def pick(shape_c):
             if interpret:        # single-tile grids only (CLAUDE.md)
@@ -389,14 +407,41 @@ def _make_advance(mesh: Mesh, params: LBMParams, block, tile, mode,
             # MLUPS): XLA inserts defensive copies for aliased scan
             # carries.
             pXl, pYl = Xl + 2 * px, Yl + 2 * _PY
+            # wrap_y (y unsharded — every 1-D production mesh, since the
+            # session permutes a sharded z onto x): the KERNEL maintains
+            # the y pads with periodic wrap data (fused_step wrap_y),
+            # so the sweep runs NO y exchange at all, and the x exchange
+            # ships FULL-height strips (the y-pad rows' corner columns
+            # refresh through them).  The y slice/DUS ops it replaces
+            # moved 2-row strided pieces and measured ~0.92 ms/step at
+            # 256^3 — ~95% of the whole exchange cost
+            # (benchmarks/results/shard_r4e.json nox/noy decomposition).
+            wrap_y = mesh.shape["y"] == 1
 
             def local_sweep_padded(f_pad, g_pad, words, step0,
                                    *maybe_ref):
                 r_pad = maybe_ref[0] if maybe_ref else None
-                f_pad = _pad_exchange_x(f_pad, px, Xl, _PY, Yl)
-                g_pad = _pad_exchange_x(g_pad, px, Xl, _PY, Yl)
-                f_pad = _pad_exchange_y(f_pad, _PY, py_ship, Yl)
-                g_pad = _pad_exchange_y(g_pad, _PY, py_ship, Yl)
+                if wrap_y:
+                    f_pad = _pad_exchange_x(f_pad, px, Xl, 0, pYl)
+                    g_pad = _pad_exchange_x(g_pad, px, Xl, 0, pYl)
+                else:
+                    f_pad = _pad_exchange_x(f_pad, px, Xl, _PY, Yl)
+                    g_pad = _pad_exchange_x(g_pad, px, Xl, _PY, Yl)
+                    # fill_zeros=False: the _PY - py_ship Mosaic-
+                    # alignment rows beyond the shipped strips hold
+                    # stale pallas-output garbage after the first
+                    # sweep, and that is FINE — the stencil consumes
+                    # exactly py_ship = sd*T rows (r4b replaced real
+                    # shipped data with zeros bitwise), the strip
+                    # sources below slice interior rows only, and
+                    # unpad_sm never reads pads.  Zero-refilling them
+                    # cost a measured ~0.7 ms/step of pure HBM writes
+                    # (shard_r4e.json); phase entry (pad_sm) still
+                    # zero-initializes every pad for the first sweep.
+                    f_pad = _pad_exchange_y(f_pad, _PY, py_ship, Yl,
+                                            fill_zeros=False)
+                    g_pad = _pad_exchange_y(g_pad, _PY, py_ship, Yl,
+                                            fill_zeros=False)
                 ox0 = (jax.lax.axis_index("x") * Xl).astype(jnp.int32)
                 oy0 = (jax.lax.axis_index("y") * Yl).astype(jnp.int32)
                 seed = jnp.concatenate(
@@ -405,7 +450,8 @@ def _make_advance(mesh: Mesh, params: LBMParams, block, tile, mode,
                 return call(shape_loc,
                             tl if not interpret else (Xl, Yl),
                             seed, f_pad, g_pad, r_pad,
-                            odomain=(pXl, pYl, Zl), owin=(px, _PY))
+                            odomain=(pXl, pYl, Zl), owin=(px, _PY),
+                            wrap_y=wrap_y)
 
             sm = shard_map(
                 local_sweep_padded, mesh=mesh,
@@ -414,7 +460,7 @@ def _make_advance(mesh: Mesh, params: LBMParams, block, tile, mode,
                 out_specs=(pspec, pspec),
                 check_vma=False,
             )
-            return sm, (px, py_ship)
+            return sm, (px, py_ship, wrap_y)
 
         def local_sweep(f_loc, g_loc, words, step0, *maybe_ref):
             r_loc = maybe_ref[0] if maybe_ref else None
@@ -549,13 +595,19 @@ def _make_advance(mesh: Mesh, params: LBMParams, block, tile, mode,
 
         # padded-carry plumbing (serial sweeps): enter/leave the kernel
         # ext layout once per phase, not per sweep
-        def pad_sm(px_):
+        def pad_sm(px_, prime_wrap=False):
             def pad_one(x_loc):
                 buf = jnp.zeros(
                     (x_loc.shape[0], Xl + 2 * px_, Yl + 2 * _PY, Zl),
                     x_loc.dtype)
-                return jax.lax.dynamic_update_slice(
+                buf = jax.lax.dynamic_update_slice(
                     buf, x_loc, (0, px_, _PY, 0))
+                if prime_wrap:
+                    # wrap_y sweeps never exchange y: prime the y pads
+                    # with the full-_PY periodic wrap once per phase
+                    # (the kernel maintains them from sweep 1 on)
+                    buf = _pad_exchange_y(buf, _PY, _PY, Yl)
+                return buf
             return shard_map(pad_one, mesh=mesh, in_specs=(pspec,),
                              out_specs=pspec, check_vma=False)
 
@@ -588,9 +640,9 @@ def _make_advance(mesh: Mesh, params: LBMParams, block, tile, mode,
             f, g, key, step = carry
             ref_arg = ref2
             if pads is not None:
-                px_, ship = pads
-                f = pad_sm(px_)(f)
-                g = pad_sm(px_)(g)
+                px_, ship, wrap_y_ = pads
+                f = pad_sm(px_, wrap_y_)(f)
+                g = pad_sm(px_, wrap_y_)(g)
                 if ref2 is not None:
                     ref_arg = prep_ref_sm(px_, ship)(ref2)
             body = make_body(sweep_sm, T_, ref_arg)

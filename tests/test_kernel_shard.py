@@ -171,6 +171,64 @@ def test_kernel_overlap_split_noise_invariant():
                                rtol=1e-6)
 
 
+def _run_sub(mesh_shape, state, params, n, block, tile=None):
+    """Like _run but on a device SUBSET, so y-unsharded meshes (which
+    route the serial sweep onto the kernel-maintained wrap_y pads) fit
+    the 8 virtual devices."""
+    ndev = int(np.prod(mesh_shape))
+    mesh = mesh_lib.make_mesh(mesh_shape, devices=jax.devices()[:ndev])
+    run = kernel_par.make_kernel_nsteps(
+        mesh, params, n, block=block, tile=tile, noise_impl="hash",
+        transform="mxu", interpret=True, donate=False, overlap=False)
+    return run(mesh_lib.shard_state(state, mesh))
+
+
+def test_kernel_shard_wrap_y_matches_jnp_deterministic():
+    """y-unsharded meshes skip the per-sweep y exchange: the kernel
+    writes the periodic y-wrap into its output's pad slabs (fused_step
+    wrap_y) and the x strips ship full height.  The trajectory must
+    still reproduce the jnp reference exactly like the y-exchange sweep
+    does — including across a blocked (T=2) + rest (T=1) phase split,
+    which re-pads and re-primes the wrap pads."""
+    params = LBMParams(alpha0=1.5, kBT=0.0, kappa=0.1,
+                       rho_lo=0.1, rho_hi=3.0)
+    shape = (16, 32, 128)
+    state = model.init_droplet(shape, params, dtype=jnp.float32,
+                               radius=0.3)
+    n = 6   # 5 K-steps: 2 blocked sweeps + 1 rest sweep
+    ref = state
+    for _ in range(n):
+        ref, _ = model.step(ref, params)
+    got = _run_sub((2, 1, 1), state, params, n, block=2)
+    assert int(got.step) == n
+    np.testing.assert_allclose(np.asarray(got.f), np.asarray(ref.f),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got.g), np.asarray(ref.g),
+                               rtol=0, atol=2e-5)
+
+
+def test_kernel_shard_wrap_y_matches_y_exchange_fluct():
+    """The wrap_y sweep (y-unsharded mesh) and the ppermute y-exchange
+    sweep (y-sharded mesh) must produce the same fluctuating trajectory:
+    hash noise is keyed by global coordinates and the wrap pads carry
+    bitwise the same values the exchange shipped."""
+    params = LBMParams(alpha0=0.0, kBT=1e-5)
+    shape = (16, 64, 128)
+    state = model.init_mixture(shape, params, dtype=jnp.float32)
+    n = 4
+    a = _run_sub((2, 1, 1), state, params, n, block=2, tile=(8, 64))
+    b = _run_sub((1, 2, 1), state, params, n, block=2, tile=(16, 32))
+    np.testing.assert_allclose(np.asarray(a.f), np.asarray(b.f),
+                               rtol=1e-3, atol=5e-6)
+    np.testing.assert_allclose(np.asarray(a.g), np.asarray(b.g),
+                               rtol=1e-3, atol=5e-6)
+    # identical injected noise: the mass gap is pure accumulation
+    # round-off across the differing tile shapes (XLA:CPU contracts
+    # FMAs shape-dependently under interpret; ~1e-6 relative here)
+    np.testing.assert_allclose(float(jnp.sum(a.f)), float(jnp.sum(b.f)),
+                               rtol=5e-6)
+
+
 def test_kernel_shard_rejects_z_sharded():
     params = LBMParams()
     mesh = mesh_lib.make_mesh((1, 1, 8))
