@@ -85,7 +85,7 @@ for name, par, kw in CASES:
 
 # --- identity-exchange variants (timing decomposition only) ----------
 _real_x, _real_y = kernel_par._pad_exchange_x, kernel_par._pad_exchange_y
-_id_x = lambda a, px, n_int, y0, n_y: a  # noqa: E731
+_id_x = lambda a, pad, ship, n_int, y0, n_y: a  # noqa: E731
 _id_y = lambda a, py, ship, n_int, fill_zeros=True: a  # noqa: E731
 for tag, fx, fy in (("noexch", _id_x, _id_y), ("nox", _id_x, _real_y),
                     ("noy", _real_x, _id_y)):

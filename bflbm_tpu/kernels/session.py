@@ -323,6 +323,42 @@ class ShardedSession(_SessionBase):
             key=NamedSharding(self.mesh, P()),
             step=NamedSharding(self.mesh, P()),
         )
+        # Resident padded layout (ROADMAP r5 #1): between advance()
+        # calls the state stays in the kernel's padded ext layout
+        # (pad once at enter, unpad once per exit_view) — the
+        # once-per-advance pad/unpad measured ~0.28 ms/step at
+        # 100-step production chunks (shard_r4e.json ms_layout).
+        # Requires the serial padded-carry sweep (not the ICI-overlap
+        # split) and a full-field COM (use_ref sums pc.f, which would
+        # include pad garbage), so gate on both.
+        self._resident = (ref_fields is None
+                          and not kernel_par.wants_split(
+                              self.mesh_k, params,
+                              kernel_opts.get("overlap", "auto")))
+        if self._resident:
+            self._PX = fused_step.sd_depth(params) * block
+            loc = kernel_par.local_shape(self.mesh_k, self.kshape)
+            pad1 = kernel_par.state_pad_sm(
+                self.mesh_k, loc, self._PX,
+                self.mesh_k.shape["y"] == 1)
+            unpad1 = kernel_par.state_unpad_sm(self.mesh_k, loc,
+                                               self._PX)
+
+            def pad_state(pc):
+                return SimState(f=pad1(pc.f), g=pad1(pc.g),
+                                key=pc.key, step=pc.step)
+
+            def unpad_state(pc):
+                return SimState(f=unpad1(pc.f), g=unpad1(pc.g),
+                                key=pc.key, step=pc.step)
+
+            self._pad_jit = jax.jit(
+                pad_state, in_shardings=(self._sh_k,),
+                out_shardings=self._sh_k, donate_argnums=0)
+            # exit_view keeps pc live — no donation
+            self._unpad_jit = jax.jit(
+                unpad_state, in_shardings=(self._sh_k,),
+                out_shardings=self._sh_k)
         self.use_ref = ref_fields is not None
         if self.use_ref:
             rho_eq, phi_eq, com_ref = ref_fields
@@ -352,12 +388,17 @@ class ShardedSession(_SessionBase):
                                        else self._perm_sh),
                         donate_argnums=0)
         if self._identity:
-            return inner
+            fn = inner
+        else:
+            def fn(state):
+                return jax.device_put(inner(state), self._sh_k)
+        if not self._resident:
+            return fn
 
-        def outer(state):
-            return jax.device_put(inner(state), self._sh_k)
+        def enter_resident(state):
+            return self._pad_jit(fn(state))
 
-        return outer
+        return enter_resident
 
     def _jit_advance(self, run):
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -395,12 +436,21 @@ class ShardedSession(_SessionBase):
                         g=_permute_pops(pc.g, self._pinv, self._idx_inv),
                         key=pc.key, step=pc.step)
 
+    def exit_view(self, pc: SimState) -> SimState:
+        if self._resident:
+            pc = self._unpad_jit(pc)
+        return _SessionBase.exit_view(self, pc)
+
+    exit = exit_view
+
     def _make_ksteps(self, n: int):
         from ..parallel import kernel as kernel_par
 
         return kernel_par.make_kernel_ksteps(
             self.mesh_k, self.params, n, use_ref=self.use_ref,
-            interpret=self.interpret, **self.kernel_opts)
+            interpret=self.interpret, resident=self._resident,
+            pad_x=self._PX if self._resident else None,
+            **self.kernel_opts)
 
 
 def make_session(params: LBMParams, shape, *, mesh=None, ref_fields=None,

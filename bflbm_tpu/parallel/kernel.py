@@ -131,20 +131,24 @@ def mesh_axis_perm(mesh: Mesh, shape, block: int = 2):
     return max(cands, key=score)
 
 
-def _pad_exchange_x(a, px, n_int, y0, n_y):
-    """Refresh the x pad slabs of a padded-layout array [px | n_int | px]
-    along local axis 1 (mesh axis "x"): ship the px-deep interior
-    boundary strips to the ring neighbors and write them into the pads
-    IN PLACE (dynamic_update_slice — no full-array concat).  Strips span
-    only the interior y rows [y0, y0+n_y) (the y pads are refreshed
-    AFTER x, full-width, which is what fills the diagonal corners —
-    same two-hop order as the old concat exchange)."""
+def _pad_exchange_x(a, pad, ship, n_int, y0, n_y):
+    """Refresh the x pad slabs of a padded-layout array
+    [pad | n_int | pad] along local axis 1 (mesh axis "x"): ship the
+    `ship`-deep interior boundary strips to the ring neighbors and
+    write them into the INNERMOST `ship` rows of the pads IN PLACE
+    (dynamic_update_slice — no full-array concat).  ``pad >= ship``:
+    the buffer pad depth is fixed at sd*block for a whole advance
+    (resident layout) while a T<block remainder phase ships only
+    sd*T rows — the outer pad rows are never read by that phase.
+    Strips span only the interior y rows [y0, y0+n_y) (the y pads are
+    refreshed AFTER x, full-width, which is what fills the diagonal
+    corners — same two-hop order as the old concat exchange)."""
     lo_src = jax.lax.slice(
-        a, (0, px, y0, 0),
-        (a.shape[0], 2 * px, y0 + n_y, a.shape[3]))
+        a, (0, pad, y0, 0),
+        (a.shape[0], pad + ship, y0 + n_y, a.shape[3]))
     hi_src = jax.lax.slice(
-        a, (0, n_int, y0, 0),
-        (a.shape[0], n_int + px, y0 + n_y, a.shape[3]))
+        a, (0, pad + n_int - ship, y0, 0),
+        (a.shape[0], pad + n_int, y0 + n_y, a.shape[3]))
     n = jax.lax.psum(1, "x")
     if n == 1:
         lo_halo, hi_halo = hi_src, lo_src
@@ -154,8 +158,8 @@ def _pad_exchange_x(a, px, n_int, y0, n_y):
         # my left pad = right edge of left neighbor (data moves +1)
         lo_halo = jax.lax.ppermute(hi_src, "x", fwd)
         hi_halo = jax.lax.ppermute(lo_src, "x", bwd)
-    a = jax.lax.dynamic_update_slice(a, lo_halo, (0, 0, y0, 0))
-    a = jax.lax.dynamic_update_slice(a, hi_halo, (0, n_int + px, y0, 0))
+    a = jax.lax.dynamic_update_slice(a, lo_halo, (0, pad - ship, y0, 0))
+    a = jax.lax.dynamic_update_slice(a, hi_halo, (0, pad + n_int, y0, 0))
     return a
 
 
@@ -188,6 +192,73 @@ def _pad_exchange_y(a, py, ship, n_int, fill_zeros=True):
         a = jax.lax.dynamic_update_slice(
             a, z, (0, 0, py + n_int + ship, 0))
     return a
+
+
+def _split_flags(mesh: Mesh, params: LBMParams, overlap):
+    """Per-axis ICI-overlap split request (before feasibility): see the
+    ``overlap`` doc in :func:`make_kernel_nsteps`."""
+    if overlap == "force":
+        return True, True
+    if overlap == "auto":
+        # Profit gate from the single-chip measurement
+        # (benchmarks/results: overlap='force' vs serial at 256^3):
+        # the split's seam-band recompute costs +9.6% deterministic
+        # but +21.4% fluctuating (narrow-band pallas launches +
+        # per-band noise generation), while the ICI exchange it
+        # hides is ~5-10% of a sweep on v5e meshes.  So 'auto'
+        # splits only when noise is off; fluctuating runs keep the
+        # serial exchange (pass overlap=True to override — e.g.
+        # when ICI is the bottleneck: DCN multi-host, large T).
+        return (mesh.shape["x"] > 1 and not params.noise_on,
+                mesh.shape["y"] > 1 and not params.noise_on)
+    if overlap:
+        return mesh.shape["x"] > 1, mesh.shape["y"] > 1
+    return False, False
+
+
+def wants_split(mesh: Mesh, params: LBMParams, overlap) -> bool:
+    """True when this (mesh, params, overlap) requests the split sweep
+    — i.e. the serial padded-carry layout will NOT be used, so a
+    session cannot keep its state resident in the padded layout."""
+    return any(_split_flags(mesh, params, overlap))
+
+
+def state_pad_sm(mesh: Mesh, shape_loc, pad: int, prime_wrap: bool):
+    """shard_map fn embedding a (Q, Xl, Yl, Zl)-per-device array into
+    the kernel's padded ext layout (Q, Xl+2*pad, Yl+2*_PY, Zl), zeroed
+    pads.  prime_wrap additionally fills the y pads with the full-_PY
+    periodic wrap (wrap_y sweeps never exchange y — the kernel
+    maintains the pads from the first sweep on, see fused_step
+    wrap_y)."""
+    Xl, Yl, Zl = shape_loc
+    pspec = P(None, *mesh_lib.SPATIAL_AXES)
+
+    def pad_one(x_loc):
+        buf = jnp.zeros(
+            (x_loc.shape[0], Xl + 2 * pad, Yl + 2 * _PY, Zl),
+            x_loc.dtype)
+        buf = jax.lax.dynamic_update_slice(buf, x_loc, (0, pad, _PY, 0))
+        if prime_wrap:
+            buf = _pad_exchange_y(buf, _PY, _PY, Yl)
+        return buf
+
+    return shard_map(pad_one, mesh=mesh, in_specs=(pspec,),
+                     out_specs=pspec, check_vma=False)
+
+
+def state_unpad_sm(mesh: Mesh, shape_loc, pad: int):
+    """Inverse of :func:`state_pad_sm`: slice the interior window out
+    of the padded ext layout."""
+    Xl, Yl, Zl = shape_loc
+    pspec = P(None, *mesh_lib.SPATIAL_AXES)
+
+    def unpad_one(x_pad):
+        return jax.lax.slice(
+            x_pad, (0, pad, _PY, 0),
+            (x_pad.shape[0], pad + Xl, _PY + Yl, Zl))
+
+    return shard_map(unpad_one, mesh=mesh, in_specs=(pspec,),
+                     out_specs=pspec, check_vma=False)
 
 
 def make_kernel_nsteps(mesh: Mesh, params: LBMParams, n: int,
@@ -270,15 +341,26 @@ def make_kernel_ksteps(mesh: Mesh, params: LBMParams, n: int,
                        transform: str = _DEFAULT_TRANSFORM,
                        noise_impl: str = "hw", noise_dist: str = "clt4",
                        interpret: bool = False, overlap="auto",
-                       use_ref: bool = False):
+                       use_ref: bool = False, resident: bool = False,
+                       pad_x=None):
     """n K = collide∘stream steps in POST-COLLIDE space (no jnp
     entry/exit) — the sharded building block of the persistent-session
     path (:mod:`bflbm_tpu.kernels.session`).  Returns an UNJITTED
     fn(pc [, ref2]) -> pc; the session jits it with the mesh
-    shardings.  See fused_step.make_ksteps for the state convention."""
+    shardings.  See fused_step.make_ksteps for the state convention.
+
+    ``resident``: the input AND output state are already in the padded
+    ext layout (state_pad_sm with pad ``pad_x``) — the session keeps
+    the state resident there across advance() calls, eliminating the
+    once-per-advance pad/unpad that measured ~0.28 ms/step at
+    100-step production chunks (shard_r4e.json ms_layout).  Requires
+    the serial padded-carry sweep (``not wants_split(...)``).
+    ``pad_x`` pins the buffer x-pad depth (>= sd*T for every phase;
+    the session passes sd*block so every advance(n) shares one
+    layout)."""
     advance = _make_advance(mesh, params, block, tile, mode, transform,
                             noise_impl, noise_dist, interpret, overlap,
-                            use_ref)
+                            use_ref, resident=resident, pad_x=pad_x)
 
     def run_k(pc: SimState, ref2=None) -> SimState:
         return advance(pc, ref2, n)
@@ -288,18 +370,22 @@ def make_kernel_ksteps(mesh: Mesh, params: LBMParams, n: int,
 
 def _make_advance(mesh: Mesh, params: LBMParams, block, tile, mode,
                   transform, noise_impl, noise_dist, interpret, overlap,
-                  use_ref):
+                  use_ref, resident=False, pad_x=None):
     """Shared sweep machinery: traced fn(pc, ref2, n_k) advancing a
-    post-collide SimState n_k K-steps via shard_map kernel sweeps."""
+    post-collide SimState n_k K-steps via shard_map kernel sweeps.
+    See make_kernel_ksteps for ``resident`` / ``pad_x``."""
     names = mesh_lib.SPATIAL_AXES
     pspec = P(None, *names)
 
-    def make_sweep(T, shape_loc, gdomain):
+    def make_sweep(T, shape_loc, gdomain, PX):
         # stencil depth per K (see fused_step._step_kernel): the
         # uncoupled case exchanges a T-deep x halo, not 2T — half
-        # the ICI volume on sharded x
+        # the ICI volume on sharded x.  PX >= px is the buffer pad
+        # depth of the padded-carry layout (serial sweeps only); the
+        # kernel reads its ext window at origin PX - px.
         sd = sd_depth(params)
         px = sd * T
+        assert PX >= px, (PX, px)
         Xl, Yl, Zl = shape_loc
         # split feasibility: the interior out domain (shrunk by the halo
         # depth on each split axis) must stay non-empty and kernel-shaped,
@@ -307,25 +393,7 @@ def _make_advance(mesh: Mesh, params: LBMParams, block, tile, mode,
         # must be split (otherwise the interior's ext pad on that axis
         # would itself ride an ICI exchange).  Any infeasible wanted axis
         # therefore drops the whole sweep back to the serial path.
-        if overlap == "force":
-            want_x = want_y = True
-        elif overlap == "auto":
-            # Profit gate from the single-chip measurement
-            # (benchmarks/results: overlap='force' vs serial at 256^3):
-            # the split's seam-band recompute costs +9.6% deterministic
-            # but +21.4% fluctuating (narrow-band pallas launches +
-            # per-band noise generation), while the ICI exchange it
-            # hides is ~5-10% of a sweep on v5e meshes.  So 'auto'
-            # splits only when noise is off; fluctuating runs keep the
-            # serial exchange (pass overlap=True to override — e.g.
-            # when ICI is the bottleneck: DCN multi-host, large T).
-            want_x = mesh.shape["x"] > 1 and not params.noise_on
-            want_y = mesh.shape["y"] > 1 and not params.noise_on
-        elif overlap:
-            want_x = mesh.shape["x"] > 1
-            want_y = mesh.shape["y"] > 1
-        else:
-            want_x = want_y = False
+        want_x, want_y = _split_flags(mesh, params, overlap)
         sx = want_x and Xl - 2 * px >= 2
         sy = want_y and Yl - 2 * _PY >= 8
         if (want_x and not sx) or (want_y and not sy):
@@ -406,7 +474,8 @@ def _make_advance(mesh: Mesh, params: LBMParams, block, tile, mode,
             # persist, no zero refill) measured SLOWER (858 vs 1393
             # MLUPS): XLA inserts defensive copies for aliased scan
             # carries.
-            pXl, pYl = Xl + 2 * px, Yl + 2 * _PY
+            pXl, pYl = Xl + 2 * PX, Yl + 2 * _PY
+            wx0 = PX - px  # ext window origin for a PX-padded buffer
             # wrap_y (y unsharded — every 1-D production mesh, since the
             # session permutes a sharded z onto x): the KERNEL maintains
             # the y pads with periodic wrap data (fused_step wrap_y),
@@ -422,11 +491,11 @@ def _make_advance(mesh: Mesh, params: LBMParams, block, tile, mode,
                                    *maybe_ref):
                 r_pad = maybe_ref[0] if maybe_ref else None
                 if wrap_y:
-                    f_pad = _pad_exchange_x(f_pad, px, Xl, 0, pYl)
-                    g_pad = _pad_exchange_x(g_pad, px, Xl, 0, pYl)
+                    f_pad = _pad_exchange_x(f_pad, PX, px, Xl, 0, pYl)
+                    g_pad = _pad_exchange_x(g_pad, PX, px, Xl, 0, pYl)
                 else:
-                    f_pad = _pad_exchange_x(f_pad, px, Xl, _PY, Yl)
-                    g_pad = _pad_exchange_x(g_pad, px, Xl, _PY, Yl)
+                    f_pad = _pad_exchange_x(f_pad, PX, px, Xl, _PY, Yl)
+                    g_pad = _pad_exchange_x(g_pad, PX, px, Xl, _PY, Yl)
                     # fill_zeros=False: the _PY - py_ship Mosaic-
                     # alignment rows beyond the shipped strips hold
                     # stale pallas-output garbage after the first
@@ -449,8 +518,8 @@ def _make_advance(mesh: Mesh, params: LBMParams, block, tile, mode,
                      jnp.stack([ox0, oy0]).astype(jnp.int32)])
                 return call(shape_loc,
                             tl if not interpret else (Xl, Yl),
-                            seed, f_pad, g_pad, r_pad,
-                            odomain=(pXl, pYl, Zl), owin=(px, _PY),
+                            seed, f_pad, g_pad, r_pad, win=(wx0, 0),
+                            odomain=(pXl, pYl, Zl), owin=(PX, _PY),
                             wrap_y=wrap_y)
 
             sm = shard_map(
@@ -460,7 +529,7 @@ def _make_advance(mesh: Mesh, params: LBMParams, block, tile, mode,
                 out_specs=(pspec, pspec),
                 check_vma=False,
             )
-            return sm, (px, py_ship, wrap_y)
+            return sm, (px, py_ship)
 
         def local_sweep(f_loc, g_loc, words, step0, *maybe_ref):
             r_loc = maybe_ref[0] if maybe_ref else None
@@ -555,7 +624,18 @@ def _make_advance(mesh: Mesh, params: LBMParams, block, tile, mode,
         return sm, None
 
     def advance(state: SimState, ref2, n_k: int) -> SimState:
-        gshape = tuple(state.f.shape[1:])
+        if resident:
+            # input f/g are in the padded layout — recover the interior
+            # global shape from the pad depths
+            sd0 = sd_depth(params)
+            PX0 = pad_x if pad_x is not None else sd0 * block
+            nx = mesh.shape["x"]
+            ny = mesh.shape["y"]
+            gshape = (state.f.shape[1] - 2 * PX0 * nx,
+                      state.f.shape[2] - 2 * _PY * ny,
+                      state.f.shape[3])
+        else:
+            gshape = tuple(state.f.shape[1:])
         shape_loc = local_shape(mesh, gshape)
         if not supports_shape(shape_loc):
             raise ValueError(
@@ -573,6 +653,15 @@ def _make_advance(mesh: Mesh, params: LBMParams, block, tile, mode,
         T = max(1, min(block, n_k)) if n_k else 1
         n_blocked, n_rest = divmod(n_k, T) if n_k else (0, 0)
         Xl, Yl, Zl = shape_loc
+        # one buffer pad depth for every phase of this advance (the
+        # T=1 remainder phase runs inside the blocked phase's layout —
+        # no inter-phase repad; a resident caller pins it via pad_x so
+        # every advance(n) shares one layout)
+        PX = pad_x if pad_x is not None else sd * T
+        if PX < sd * T:
+            raise ValueError(
+                f"pad_x={pad_x} shallower than the sd*T={sd * T} halo")
+        wrap_y = mesh.shape["y"] == 1
 
         def make_body(sweep_sm, T_, ref_arg):
             ref_args = () if ref_arg is None else (ref_arg,)
@@ -594,57 +683,40 @@ def _make_advance(mesh: Mesh, params: LBMParams, block, tile, mode,
             return body
 
         # padded-carry plumbing (serial sweeps): enter/leave the kernel
-        # ext layout once per phase, not per sweep
-        def pad_sm(px_, prime_wrap=False):
-            def pad_one(x_loc):
-                buf = jnp.zeros(
-                    (x_loc.shape[0], Xl + 2 * px_, Yl + 2 * _PY, Zl),
-                    x_loc.dtype)
-                buf = jax.lax.dynamic_update_slice(
-                    buf, x_loc, (0, px_, _PY, 0))
-                if prime_wrap:
-                    # wrap_y sweeps never exchange y: prime the y pads
-                    # with the full-_PY periodic wrap once per phase
-                    # (the kernel maintains them from sweep 1 on)
-                    buf = _pad_exchange_y(buf, _PY, _PY, Yl)
-                return buf
-            return shard_map(pad_one, mesh=mesh, in_specs=(pspec,),
-                             out_specs=pspec, check_vma=False)
-
-        def unpad_sm(px_):
-            def unpad_one(x_pad):
-                return jax.lax.slice(
-                    x_pad, (0, px_, _PY, 0),
-                    (x_pad.shape[0], px_ + Xl, _PY + Yl, Zl))
-            return shard_map(unpad_one, mesh=mesh, in_specs=(pspec,),
-                             out_specs=pspec, check_vma=False)
+        # ext layout once per advance (resident callers: once per RUN —
+        # enter/exit live in the session)
+        pad_f = state_pad_sm(mesh, shape_loc, PX, wrap_y)
+        unpad_f = state_unpad_sm(mesh, shape_loc, PX)
 
         def prep_ref_sm(px_, ship):
             # the USE_REF_STATE stack is static over the n_k steps: pad
             # AND fill its halos ONCE (the old path re-exchanged it
-            # every sweep)
+            # every sweep).  Buffer pad PX, halo fill depth px_ (the
+            # phase's consumed depth).
             def one(r_loc):
                 buf = jnp.zeros(
-                    (r_loc.shape[0], Xl + 2 * px_, Yl + 2 * _PY, Zl),
+                    (r_loc.shape[0], Xl + 2 * PX, Yl + 2 * _PY, Zl),
                     r_loc.dtype)
                 buf = jax.lax.dynamic_update_slice(
-                    buf, r_loc, (0, px_, _PY, 0))
-                buf = _pad_exchange_x(buf, px_, Xl, _PY, Yl)
+                    buf, r_loc, (0, PX, _PY, 0))
+                buf = _pad_exchange_x(buf, PX, px_, Xl, _PY, Yl)
                 buf = _pad_exchange_y(buf, _PY, ship, Yl)
                 return buf
             return shard_map(one, mesh=mesh, in_specs=(pspec,),
                              out_specs=pspec, check_vma=False)
 
-        def run_phase(carry, T_, n_sweeps, use_scan):
-            sweep_sm, pads = make_sweep(T_, shape_loc, gshape)
+        def run_phase(carry, padded, T_, n_sweeps, use_scan):
+            sweep_sm, pads = make_sweep(T_, shape_loc, gshape, PX)
             f, g, key, step = carry
             ref_arg = ref2
             if pads is not None:
-                px_, ship, wrap_y_ = pads
-                f = pad_sm(px_, wrap_y_)(f)
-                g = pad_sm(px_, wrap_y_)(g)
+                px_, ship = pads
+                if not padded:
+                    f, g = pad_f(f), pad_f(g)
                 if ref2 is not None:
                     ref_arg = prep_ref_sm(px_, ship)(ref2)
+            elif padded:
+                f, g = unpad_f(f), unpad_f(g)
             body = make_body(sweep_sm, T_, ref_arg)
             c = (f, g, key, step)
             if use_scan and n_sweeps > 1:
@@ -652,18 +724,21 @@ def _make_advance(mesh: Mesh, params: LBMParams, block, tile, mode,
             else:
                 for _ in range(n_sweeps):
                     c, _ = body(c, None)
-            f, g, key, step = c
-            if pads is not None:
-                f = unpad_sm(pads[0])(f)
-                g = unpad_sm(pads[0])(g)
-            return (f, g, key, step)
+            return c, pads is not None
 
         carry = (state.f, state.g, state.key, state.step)
+        padded = resident
         if n_blocked:
-            carry = run_phase(carry, T, n_blocked, True)
+            carry, padded = run_phase(carry, padded, T, n_blocked, True)
         if n_rest:
-            carry = run_phase(carry, 1, n_rest, False)
+            carry, padded = run_phase(carry, padded, 1, n_rest, False)
         f, g, key, step = carry
+        if padded and not resident:
+            f, g = unpad_f(f), unpad_f(g)
+        elif resident and not padded:
+            # split phases run unpadded; a resident caller still gets
+            # its layout back (pads re-primed — contents valid)
+            f, g = pad_f(f), pad_f(g)
         return SimState(f=f, g=g, key=key, step=step)
 
     return advance

@@ -237,6 +237,63 @@ def test_fused_session_alpha1_matches_jnp():
                                rtol=0, atol=2e-5)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2+ devices")
+def test_sharded_session_resident_chunk_invariance():
+    """Resident padded layout (round 4f): the sharded session keeps the
+    state in the kernel's padded ext layout ACROSS advance() calls (the
+    per-advance pad/unpad measured ~0.28 ms/step at production chunk
+    sizes — shard_r4e.json ms_layout).  Assertions:
+
+    * residency is EXACT: [2,3,1] resident == non-resident bitwise
+      (same phase structure, identical kernel inputs — the pad/unpad
+      elision may not change a single bit);
+    * same-T chunkings are bitwise invariant: [2,2,2] == [6] (every
+      step runs inside a T=2 block either way);
+    * mixed-T chunkings ([2,3,1] runs steps 6-7 at T=1) agree to f32
+      round-off only — a PRE-EXISTING property of the sharded ext
+      sweep (measured identically on the r4e code: 0.08% of cells at
+      1 ULP; the single-device periodic kernel is bitwise T-invariant,
+      the ext-mode seam recompute is not);
+    * exit_view does not disturb the resident state.
+    """
+    from bflbm_tpu.parallel import mesh as mesh_lib
+
+    params = LBMParams(alpha0=0.0, kBT=1e-6)
+    shape = (128, 16, 128)
+    state = model.init_mixture(shape, params, dtype=jnp.float32)
+    opts = dict(_OPTS, block=2)
+
+    def run(chunks, resident=True):
+        mesh = mesh_lib.make_mesh((1, 1, 2), devices=jax.devices()[:2])
+        sess = make_session(params, shape, mesh=mesh, interpret=True,
+                            **opts)
+        assert sess is not None and sess._resident
+        if not resident:     # force the per-advance pad/unpad path
+            sess._resident = False
+        pc = sess.enter(mesh_lib.shard_state(_copy(state), mesh))
+        for c in chunks:
+            pc = sess.advance(pc, c)
+        mid = sess.exit_view(pc)
+        pc = sess.advance(pc, 0)
+        return sess.exit_view(pc), mid
+
+    a, a_mid = run([2, 3, 1])
+    a_nr, _ = run([2, 3, 1], resident=False)
+    b, _ = run([6])
+    c, _ = run([2, 2, 2])
+    assert int(a.step) == int(b.step) == int(c.step) == 7
+    # residency exactness + exit_view non-destructive
+    np.testing.assert_array_equal(np.asarray(a.f), np.asarray(a_nr.f))
+    np.testing.assert_array_equal(np.asarray(a.g), np.asarray(a_nr.g))
+    np.testing.assert_array_equal(np.asarray(a.f), np.asarray(a_mid.f))
+    # same-T chunk invariance (bitwise)
+    np.testing.assert_array_equal(np.asarray(c.f), np.asarray(b.f))
+    np.testing.assert_array_equal(np.asarray(c.g), np.asarray(b.g))
+    # mixed-T: round-off only
+    np.testing.assert_allclose(np.asarray(a.f), np.asarray(b.f),
+                               rtol=0, atol=1e-5)
+
+
 def test_make_session_gates():
     """make_session declines configurations the kernel engines cannot
     run (shapes with no kernel-tileable permutation); alpha1 != 0 now
