@@ -343,6 +343,12 @@ def _verify_eof():
 _EOF_OK = _verify_eof()
 _DEFAULT_TRANSFORM = "eof" if _EOF_OK else "eo"
 
+# Test hook (tests/test_relax_invariance.py): route tau = 1/2 configs
+# through the GENERAL relaxation formulas (full-Q forward transform,
+# m + lambda_bar*(m_eq - m) updates) instead of the exact-relaxation
+# specialization.  Read at trace time — set it before building a kernel.
+FORCE_GENERAL_RELAX = False
+
 # number of normal draws per cell: 3 momentum + 15 ghost(f) + 15 ghost(g)
 _N_NORMALS = 33
 _NPAIR = (_N_NORMALS + 1) // 2   # Box-Muller pairs (17 -> 34 normals)
@@ -834,7 +840,8 @@ def _k_compute(params: LBMParams, read_f, read_g, nx, ny, normals,
     # moments are never consumed — the forward transform shrinks to the
     # four conserved rows and (deterministic case) the back transform
     # elides the identically-zero ghost rows.
-    exact_relax = (params.tau_f == 0.5 and params.tau_g == 0.5)
+    exact_relax = (not FORCE_GENERAL_RELAX
+                   and params.tau_f == 0.5 and params.tau_g == 0.5)
     nrows = 4 if exact_relax else Q
 
     # moments: unrolled adds (VPU), parity-paired adds ("eo"), factored
@@ -1135,7 +1142,7 @@ def _k_compute(params: LBMParams, read_f, read_g, nx, ny, normals,
 def _step_kernel(params: LBMParams, shape, gdomain, bx, by, block,
                  noise_on, mode, transform, noise_impl, noise_dist,
                  ext_mode, use_ref, win, owin, has_alias, wrap_y,
-                 mmat_ref, minv_ref, seed_ref,
+                 ystrips, mmat_ref, minv_ref, seed_ref,
                  fc_hbm, gc_hbm, *hbm_rest):
     """Grid program: `block` K-steps on one (bx, by, Z) interior tile.
 
@@ -1180,8 +1187,11 @@ def _step_kernel(params: LBMParams, shape, gdomain, bx, by, block,
     """
     alias_skip = 2 if has_alias else 0
     rest = list(hbm_rest)
+    strips_in = ([rest.pop(0) for _ in range(4)] if ystrips else None)
     ref_hbm = rest.pop(0) if use_ref else None
-    fout_hbm, gout_hbm = rest[alias_skip:]
+    outs = rest[alias_skip:]
+    fout_hbm, gout_hbm = outs[0], outs[1]
+    strip_outs = outs[2:6] if ystrips else None
     X, Y, Z = shape
     gx, gy = X // bx, Y // by
     n_tiles = gx * gy
@@ -1220,6 +1230,19 @@ def _step_kernel(params: LBMParams, shape, gdomain, bx, by, block,
     # The extra write rides the overlapped out-DMA phase.
     assert not wrap_y or (ext_mode and oy0_ == _PY and not has_alias), \
         "wrap_y needs the y-padded serial-sweep layout"
+    # ystrips (round 5, VERDICT r4 #2 — FillBoundary any-decomposition,
+    # main_run_job.cpp:140-143): for Y-SHARDED meshes the _PY-deep ext
+    # y edges stream from four SEPARATE strip operands (the ppermuted
+    # neighbor edge rows) instead of the main buffer's pads, and the
+    # row-edge tiles write their interior edge rows into compact strip
+    # OUTPUT buffers for the next sweep's ppermute — the 2-row strided
+    # slice/DUS ops of the old y exchange (~0.92 ms/step at 256^3,
+    # shard_r4e.json) disappear; the extra strip out-DMAs ride the
+    # overlapped out-DMA phase exactly like wrap_y's pad writes.  The
+    # main buffer's own y pads are stale in this mode and never read.
+    assert not ystrips or (ext_mode and oy0_ == _PY and wy0 == 0
+                           and not has_alias and not wrap_y), \
+        "ystrips needs the y-padded serial-sweep layout"
 
     xsizes = (px, bx, px)
     ysizes = (py, by, py)
@@ -1237,17 +1260,51 @@ def _step_kernel(params: LBMParams, shape, gdomain, bx, by, block,
         def in_dsts():
             return (ext_f2, ext_g2) + ((ext_r2,) if use_ref else ())
 
-        def in_copies_full(tt, slot):
+        def _ext_y_frags(jj, ycase):
+            """Strips-mode y decomposition of a tile's eyb-deep ext
+            range: (src kind 0=buffer, 1=strip_lo, 2=strip_hi, src_y,
+            dst_y, rows).  The buffer's own y pads are never read (they
+            are stale in strips mode) — the _PY edge slabs stream from
+            the strip operands.  All sizes/offsets stay 8-aligned
+            (by % _PY == 0)."""
+            if ycase == "only":     # gy == 1: both edges from strips
+                return ((1, 0, 0, _PY), (0, _PY, _PY, by),
+                        (2, 0, _PY + by, _PY))
+            if ycase == "lo":       # jj == 0
+                return ((1, 0, 0, _PY), (0, _PY, _PY, by + _PY))
+            if ycase == "hi":       # jj == gy - 1
+                return ((0, jj * by, 0, by + _PY),
+                        (2, 0, by + _PY, _PY))
+            return ((0, jj * by, 0, eyb),)      # interior row
+
+        def in_copies_full(tt, slot, ycase=None):
             """All halo fragments for tile tt (row starts / tiles mode):
             9 wrapped fragments in periodic mode, 1 contiguous block in
-            ext (pre-extended shard) mode."""
+            ext (pre-extended shard) mode; with y strips the _PY-deep
+            ext y edges come from the separate strip operands (ycase
+            picks the static fragment decomposition for this tile's row
+            position — see _ext_y_frags)."""
             ii = tt // gy
             jj = tt - ii * gy
             cps = []
             if ext_mode:
-                for src, dst in zip(in_srcs, in_dsts()):
+                xsl = pl.ds(wx0 + ii * bx, exb)
+                for k, (src, dst) in enumerate(zip(in_srcs, in_dsts())):
+                    if ystrips and k < 2:
+                        lo_s, hi_s = (strips_in[2 * k],
+                                      strips_in[2 * k + 1])
+                        for kind, sy, dy, n_ in _ext_y_frags(jj, ycase):
+                            arr = (src, lo_s, hi_s)[kind]
+                            cps.append(pltpu.make_async_copy(
+                                arr.at[:, xsl,
+                                       pl.ds(pl.multiple_of(sy, 8), n_),
+                                       :],
+                                dst.at[slot, :, :, pl.ds(dy, n_), :],
+                                sems_in.at[slot, len(cps)],
+                            ))
+                        continue
                     cps.append(pltpu.make_async_copy(
-                        src.at[:, pl.ds(wx0 + ii * bx, exb),
+                        src.at[:, xsl,
                                pl.ds(pl.multiple_of(wy0 + jj * by, 8),
                                      eyb), :],
                         dst.at[slot],
@@ -1273,7 +1330,7 @@ def _step_kernel(params: LBMParams, shape, gdomain, bx, by, block,
                     dx += xsizes[a]
             return cps
 
-        def in_copies_fresh(tt, slot, frags):
+        def in_copies_fresh(tt, slot, frags, ycase=None):
             """Sliding-mode load: only the fresh trailing y-slab (width
             BY) for the 3 x fragments; the leading 2*_PY columns are
             VMEM-copied from the previous tile.
@@ -1282,14 +1339,36 @@ def _step_kernel(params: LBMParams, shape, gdomain, bx, by, block,
             [y1 + PY, y1 + PY + BY), y1 = jj*BY.  For BY > PY the last
             tile of a row wraps: frags selects the unwrapped (1) or
             wrapped (2) fragment decomposition (both static shapes).
+            With y strips the LAST tile of a row (ycase="hi") sources
+            its trailing _PY rows from the strip_hi operand.
             """
             ii = tt // gy
             jj = tt - ii * gy
             cps = []
             if ext_mode:
-                for src, dst in zip(in_srcs, in_dsts()):
+                xsl = pl.ds(wx0 + ii * bx, exb)
+                for k, (src, dst) in enumerate(zip(in_srcs, in_dsts())):
+                    if ystrips and k < 2 and ycase == "hi":
+                        hi_s = strips_in[2 * k + 1]
+                        if by > _PY:
+                            cps.append(pltpu.make_async_copy(
+                                src.at[:, xsl,
+                                       pl.ds(pl.multiple_of(
+                                           jj * by + 2 * py, 8),
+                                           by - _PY), :],
+                                dst.at[slot, :, :,
+                                       pl.ds(2 * py, by - _PY), :],
+                                sems_in.at[slot, len(cps)],
+                            ))
+                        cps.append(pltpu.make_async_copy(
+                            hi_s.at[:, xsl, :, :],
+                            dst.at[slot, :, :,
+                                   pl.ds(2 * py + by - _PY, _PY), :],
+                            sems_in.at[slot, len(cps)],
+                        ))
+                        continue
                     cps.append(pltpu.make_async_copy(
-                        src.at[:, pl.ds(wx0 + ii * bx, exb),
+                        src.at[:, xsl,
                                pl.ds(pl.multiple_of(
                                    wy0 + jj * by + 2 * py, 8), by), :],
                         dst.at[slot, :, :, pl.ds(2 * py, by), :],
@@ -1329,6 +1408,33 @@ def _step_kernel(params: LBMParams, shape, gdomain, bx, by, block,
             if use_ref:
                 ext_r2[dst_slot, :, :, 0:2 * py, :] = \
                     ext_r2[src_slot, :, :, by:by + 2 * py, :]
+
+        def full_cases(tt, slot, start):
+            """in_copies_full with the per-row-position strip fragment
+            cases branched on tt's row index (tiles-mode loads when y
+            strips are active; start=False waits instead)."""
+            def go(case):
+                for cp in in_copies_full(tt, slot, case):
+                    (cp.start if start else cp.wait)()
+            if not ystrips:
+                go(None)
+                return
+            if gy == 1:
+                go("only")
+                return
+            jj = jax.lax.rem(tt, jnp.int32(gy))
+
+            @pl.when(jj == 0)
+            def _():
+                go("lo")
+
+            @pl.when(jnp.logical_and(jj != 0, jj != gy - 1))
+            def _():
+                go("mid")
+
+            @pl.when(jj == gy - 1)
+            def _():
+                go("hi")
 
         def out_copies(tt, slot):
             ii = tt // gy
@@ -1391,12 +1497,63 @@ def _step_kernel(params: LBMParams, shape, gdomain, bx, by, block,
                 for cp in pad_copies(tt, slot, False):
                     cp.wait()
 
+        def strip_copies(tt, slot, hi_strip):
+            """y-strip extra out DMAs (strips mode, see the ystrips note
+            above): the row-edge tiles copy their interior edge rows
+            into the compact strip OUTPUT buffers that the next sweep's
+            ppermute ships to the y neighbors (jj == 0 -> strip_lo_out
+            gets rows [0, _PY); jj == gy-1 -> strip_hi_out gets rows
+            [by-_PY, by)).  Same x range as the main copy; the strip
+            buffers' x pad columns stay unwritten — the sweep's strip
+            x-exchange fills them with the diagonal corners."""
+            ii = tt // gy
+            src_y = by - _PY if hi_strip else 0
+            dsts = ((strip_outs[1], strip_outs[3]) if hi_strip
+                    else (strip_outs[0], strip_outs[2]))
+            cps = []
+            for si, dst in enumerate(dsts):
+                src = out_f2 if si == 0 else out_g2
+                cps.append(pltpu.make_async_copy(
+                    src.at[slot, :, :, pl.ds(src_y, _PY), :],
+                    dst.at[:, pl.ds(ox0_ + ii * bx, bx), :, :],
+                    sems_out.at[slot, (2 if hi_strip else 4) + si],
+                ))
+            return cps
+
+        def start_strip_copies(tt, slot):
+            jj = jax.lax.rem(tt, jnp.int32(gy))
+
+            @pl.when(jj == 0)
+            def _():
+                for cp in strip_copies(tt, slot, False):
+                    cp.start()
+
+            @pl.when(jj == gy - 1)
+            def _():
+                for cp in strip_copies(tt, slot, True):
+                    cp.start()
+
+        def wait_strip_copies(tt, slot):
+            jj = jax.lax.rem(tt, jnp.int32(gy))
+
+            @pl.when(jj == 0)
+            def _():
+                for cp in strip_copies(tt, slot, False):
+                    cp.wait()
+
+            @pl.when(jj == gy - 1)
+            def _():
+                for cp in strip_copies(tt, slot, True):
+                    cp.wait()
+
         slot = jax.lax.rem(t, jnp.int32(2))
         nslot = jax.lax.rem(t + 1, jnp.int32(2))
 
+        case0 = (("only" if gy == 1 else "lo") if ystrips else None)
+
         @pl.when(t == 0)
         def _():
-            for cp in in_copies_full(0, 0):
+            for cp in in_copies_full(0, 0, case0):
                 cp.start()
 
         # issue next tile's row-start / tiles-mode loads as early as
@@ -1404,17 +1561,19 @@ def _step_kernel(params: LBMParams, shape, gdomain, bx, by, block,
         if not sweep:
             @pl.when(t + 1 < n_tiles)
             def _():
-                for cp in in_copies_full(t + 1, nslot):
-                    cp.start()
+                full_cases(t + 1, nslot, True)
         else:
             jj1 = jax.lax.rem(t + 1, jnp.int32(gy))
             jj0 = jax.lax.rem(t, jnp.int32(gy))
             # last tile of a row needs a 2-frag fresh load (periodic only)
             wraps = by > py and not ext_mode
+            # sweep mode implies gy >= 2, so a row-start load is the
+            # "lo" strip case and never "only"
+            case_row = "lo" if ystrips else None
 
             @pl.when(jnp.logical_and(t + 1 < n_tiles, jj1 == 0))
             def _():
-                for cp in in_copies_full(t + 1, nslot):
+                for cp in in_copies_full(t + 1, nslot, case_row):
                     cp.start()
 
         # ---------------- input-independent noise normals -------------
@@ -1533,13 +1692,12 @@ def _step_kernel(params: LBMParams, shape, gdomain, bx, by, block,
             phase_normals[0] = gen_normals(0)
 
         if not sweep:
-            for cp in in_copies_full(t, slot):
-                cp.wait()
+            full_cases(t, slot, False)
         else:
             # wait this tile's own fragments
             @pl.when(jj0 == 0)
             def _():
-                for cp in in_copies_full(t, slot):
+                for cp in in_copies_full(t, slot, case_row):
                     cp.wait()
 
             if wraps:
@@ -1551,6 +1709,16 @@ def _step_kernel(params: LBMParams, shape, gdomain, bx, by, block,
                 @pl.when(jj0 == gy - 1)
                 def _():
                     for cp in in_copies_fresh(t, slot, 2):
+                        cp.wait()
+            elif ystrips:
+                @pl.when(jnp.logical_and(jj0 != 0, jj0 != gy - 1))
+                def _():
+                    for cp in in_copies_fresh(t, slot, 1, "mid"):
+                        cp.wait()
+
+                @pl.when(jj0 == gy - 1)
+                def _():
+                    for cp in in_copies_fresh(t, slot, 1, "hi"):
                         cp.wait()
             else:
                 @pl.when(jj0 != 0)
@@ -1575,6 +1743,18 @@ def _step_kernel(params: LBMParams, shape, gdomain, bx, by, block,
                 def _():
                     for cp in in_copies_fresh(t + 1, nslot, 2):
                         cp.start()
+            elif ystrips:
+                @pl.when(jnp.logical_and(
+                    t + 1 < n_tiles,
+                    jnp.logical_and(jj1 != 0, jj1 != gy - 1)))
+                def _():
+                    for cp in in_copies_fresh(t + 1, nslot, 1, "mid"):
+                        cp.start()
+
+                @pl.when(jnp.logical_and(t + 1 < n_tiles, jj1 == gy - 1))
+                def _():
+                    for cp in in_copies_fresh(t + 1, nslot, 1, "hi"):
+                        cp.start()
             else:
                 @pl.when(jnp.logical_and(t + 1 < n_tiles, jj1 != 0))
                 def _():
@@ -1588,6 +1768,8 @@ def _step_kernel(params: LBMParams, shape, gdomain, bx, by, block,
                 cp.wait()
             if wrap_y:
                 wait_pad_copies(t - 2, slot)
+            if ystrips:
+                wait_strip_copies(t - 2, slot)
 
         ext_f = ext_f2.at[slot]
         ext_g = ext_g2.at[slot]
@@ -1647,6 +1829,8 @@ def _step_kernel(params: LBMParams, shape, gdomain, bx, by, block,
             cp.start()
         if wrap_y:
             start_pad_copies(t, slot)
+        if ystrips:
+            start_strip_copies(t, slot)
 
         # drain the last two tiles' writes before the kernel exits
         @pl.when(t == n_tiles - 1)
@@ -1655,6 +1839,8 @@ def _step_kernel(params: LBMParams, shape, gdomain, bx, by, block,
                 cp.wait()
             if wrap_y:
                 wait_pad_copies(t, slot)
+            if ystrips:
+                wait_strip_copies(t, slot)
             if n_tiles > 1:
                 @pl.when(t >= 1)
                 def _():
@@ -1663,6 +1849,9 @@ def _step_kernel(params: LBMParams, shape, gdomain, bx, by, block,
                     if wrap_y:
                         wait_pad_copies(
                             t - 1, jax.lax.rem(t + 1, jnp.int32(2)))
+                    if ystrips:
+                        wait_strip_copies(
+                            t - 1, jax.lax.rem(t + 1, jnp.int32(2)))
 
     scope = dict(
         ext_f2=pltpu.VMEM((2, Q, exb, eyb, Z), fout_hbm.dtype),
@@ -1670,7 +1859,8 @@ def _step_kernel(params: LBMParams, shape, gdomain, bx, by, block,
         out_f2=pltpu.VMEM((2, Q, bx, by, Z), fout_hbm.dtype),
         out_g2=pltpu.VMEM((2, Q, bx, by, Z), fout_hbm.dtype),
         sems_in=pltpu.SemaphoreType.DMA((2, 27 if use_ref else 18)),
-        sems_out=pltpu.SemaphoreType.DMA((2, 6 if wrap_y else 2)),
+        sems_out=pltpu.SemaphoreType.DMA(
+            (2, 6 if (wrap_y or ystrips) else 2)),
     )
     if use_ref:
         scope["ext_r2"] = pltpu.VMEM((2, 2, exb, eyb, Z), fout_hbm.dtype)
@@ -1682,7 +1872,7 @@ def _fused_step_call(params: LBMParams, shape, tile, noise_on,
                      block=1, noise_impl="hw", noise_dist="clt4",
                      gdomain=None, ext_mode=False, interpret=False,
                      ref=None, win=(0, 0), odomain=None, owin=(0, 0),
-                     out_alias=None, wrap_y=False):
+                     out_alias=None, wrap_y=False, ystrips=None):
     """`block` K-steps over the (local) domain `shape`.
 
     seed = int32 [word_0..word_{block-1}, step] (periodic mode) or
@@ -1720,12 +1910,23 @@ def _fused_step_call(params: LBMParams, shape, tile, noise_on,
         (odomain, shape, owin)
     assert not wrap_y or (owin[1] == _PY and odomain[1] == Y + 2 * _PY), \
         (odomain, shape, owin)
+    # ystrips: (f_lo, f_hi, g_lo, g_hi) neighbor-edge strip operands
+    # (each (Q, odomain[0], _PY, Z)); the call then also RETURNS four
+    # freshly-written strip outputs after (fo, go) — see _step_kernel.
+    assert ystrips is None or (
+        ext_mode and out_alias is None and not wrap_y and win[1] == 0
+        and owin[1] == _PY and odomain[1] == Y + 2 * _PY), \
+        (odomain, shape, win, owin)
     kern = functools.partial(_step_kernel, params, shape,
                              gdomain or shape, bx, by, block,
                              noise_on, mode, transform, noise_impl,
                              noise_dist, ext_mode, use_ref, tuple(win),
-                             tuple(owin), out_alias is not None, wrap_y)
+                             tuple(owin), out_alias is not None, wrap_y,
+                             ystrips is not None)
     out_shape = [jax.ShapeDtypeStruct((Q,) + odomain, fc.dtype)] * 2
+    if ystrips is not None:
+        out_shape += [jax.ShapeDtypeStruct(
+            (Q, odomain[0], _PY, odomain[2]), fc.dtype)] * 4
     mmat = jnp.asarray(M, fc.dtype)
     minv = jnp.asarray(M_INV, fc.dtype)
     in_specs = [
@@ -1736,6 +1937,12 @@ def _fused_step_call(params: LBMParams, shape, tile, noise_on,
         pl.BlockSpec(memory_space=pl.ANY),       # gc (HBM)
     ]
     operands = [mmat, minv, seed, fc, gc]
+    if ystrips is not None:
+        for s in ystrips:
+            assert s.shape == (Q, odomain[0], _PY, odomain[2]), \
+                (s.shape, odomain)
+            in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+            operands.append(s)
     if use_ref:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # ref (HBM)
         operands.append(jnp.asarray(ref, fc.dtype))
@@ -1746,11 +1953,11 @@ def _fused_step_call(params: LBMParams, shape, tile, noise_on,
         aliases = {len(operands): 0, len(operands) + 1: 1}
         in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 2
         operands += [fprev, gprev]
-    fo, go = pl.pallas_call(
+    res = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=in_specs,
-        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(out_shape),
         out_shape=out_shape,
         input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
@@ -1758,6 +1965,9 @@ def _fused_step_call(params: LBMParams, shape, tile, noise_on,
         ),
         interpret=interpret,
     )(*operands)
+    if ystrips is not None:
+        return res          # (fo, go, f_lo, f_hi, g_lo, g_hi)
+    fo, go = res
     return fo, go
 
 
@@ -1853,10 +2063,40 @@ def _auto_block(params: LBMParams, shape, n_k: int, tile, block,
     return best if shape[0] >= sdp * best else 1
 
 
+def mass_restore_step(st: SimState, m0f, m0g) -> SimState:
+    """Global exact-mass restore (round 5, VERDICT r4 #5): pin the
+    stored total masses back to the invariants captured at session
+    entry by spreading the (pure-rounding) defect uniformly over the
+    rest population.  The reference computes in double and never
+    drifts (amrex::Real, GNUmakefile default); our f32 kernel's
+    residual ~7e-10/step relative comes from back-transform telescoping
+    rounding (ACCEPTANCE r3/r4).  The correction is a pure function of
+    the state, applied at a fixed step cadence so chunk splits with
+    identical sweep boundaries stay bitwise-identical."""
+    ncf = float(np.prod(st.f.shape[1:]))
+    f = st.f.at[0].add((m0f - jnp.sum(st.f)) / ncf)
+    g = st.g.at[0].add((m0g - jnp.sum(st.g)) / ncf)
+    return SimState(f=f, g=g, key=st.key, step=st.step)
+
+
+def _maybe_restore(st_prev_step, st, mass_restore):
+    """Apply mass_restore_step when the sweep [prev_step, st.step)
+    crossed a multiple of the restore interval."""
+    if mass_restore is None:
+        return st
+    interval, m0f, m0g = mass_restore
+    crossed = (st.step // jnp.int32(interval)
+               > st_prev_step // jnp.int32(interval))
+    return jax.lax.cond(crossed,
+                        lambda s: mass_restore_step(s, m0f, m0g),
+                        lambda s: s, st)
+
+
 def make_ksteps(params: LBMParams, shape, n: int, tile=None,
                 mode: str = "auto", transform: str = None,
                 block=None, noise_impl: str = "hw",
-                noise_dist: str = "clt4", use_ref: bool = False):
+                noise_dist: str = "clt4", use_ref: bool = False,
+                mass_restore=None):
     """n K = collide∘stream updates in POST-COLLIDE space, kernel frame.
 
     The building block of the persistent-state session path
@@ -1876,7 +2116,8 @@ def make_ksteps(params: LBMParams, shape, n: int, tile=None,
     UNJITTED fn(s [, ref2]) -> s (n == 0 gives the identity) suitable
     for wrapping in the caller's jit.  ref2: optional (2, X, Y, Z)
     COM-rolled (rho_eq, phi_eq) stack held fixed for the n steps
-    (USE_REF_STATE)."""
+    (USE_REF_STATE).  mass_restore: optional (interval, m0f, m0g) —
+    see :func:`mass_restore_step`."""
     if transform is None:
         transform = _DEFAULT_TRANSFORM
     T = _auto_block(params, shape, n, tile, block, noise_impl,
@@ -1889,14 +2130,16 @@ def make_ksteps(params: LBMParams, shape, n: int, tile=None,
     def run_k(s: SimState, ref2=None) -> SimState:
         if n_blocked:
             def body(st, _):
-                return fused_stream_collide(st, params, tl, mode,
-                                            transform, T, noise_impl,
-                                            noise_dist, ref=ref2), None
+                st1 = fused_stream_collide(st, params, tl, mode,
+                                           transform, T, noise_impl,
+                                           noise_dist, ref=ref2)
+                return _maybe_restore(st.step, st1, mass_restore), None
 
             s, _ = jax.lax.scan(body, s, None, length=n_blocked)
         for _ in range(n_rest):
-            s = fused_stream_collide(s, params, tl, mode, transform, 1,
-                                     noise_impl, noise_dist, ref=ref2)
+            s1 = fused_stream_collide(s, params, tl, mode, transform, 1,
+                                      noise_impl, noise_dist, ref=ref2)
+            s = _maybe_restore(s.step, s1, mass_restore)
         return s
 
     return run_k

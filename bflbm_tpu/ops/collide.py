@@ -32,6 +32,10 @@ from ..lattice import Q
 from .hydro import Hydro
 from .moments import moments, populations
 
+# Test hook (tests/test_relax_invariance.py): route tau = 1/2 through the
+# general relaxation update instead of the exact-relaxation branch.
+FORCE_GENERAL_RELAX = False
+
 
 def equilibrium_moments(n: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
     """Binary-fluid equilibrium moments m_eq(n, u); u shape (3, ...).
@@ -90,7 +94,8 @@ def collide(f: jnp.ndarray, g: jnp.ndarray, h: Hydro,
     phi_f = force_moments(rho, h.uf, h.af, params.tau_f)
     phi_g = force_moments(phi, h.ug, h.ag, params.tau_g)
 
-    if params.tau_f == 0.5 and params.tau_g == 0.5:
+    if (not FORCE_GENERAL_RELAX
+            and params.tau_f == 0.5 and params.tau_g == 0.5):
         # Exact relaxation (lambda_bar = 1, the default of every
         # reference recipe): the collision replaces every non-conserved
         # moment by m_eq + Phi + xi outright — the incoming moments are

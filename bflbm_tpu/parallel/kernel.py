@@ -194,6 +194,38 @@ def _pad_exchange_y(a, py, ship, n_int, fill_zeros=True):
     return a
 
 
+# Benchmark hook (benchmarks/tpu_overlap_r5.py, VERDICT r4 #3): when
+# set to an int k, the overlap-split sweep runs only the FIRST k seam-
+# band calls (order: x-lo, x-hi, y-lo, y-hi) — PHYSICS-WRONG (the
+# skipped bands' cells are uninitialized pallas output), timing-only.
+# Read at trace time; set before building a session/advance.
+SPLIT_DEBUG = None
+
+
+def _strip_exchange(lo, hi, pad, ship, n_int):
+    """Ship the kernel-written y-edge strips to the y ring neighbors
+    (whole-buffer ppermute — no slicing, the strips are already
+    compact) and patch the received strips' x pad columns with the x
+    neighbors' columns (which carry the DIAGONAL corner data, since
+    every rank's strips arrive from its own y neighbor first — the
+    same two-hop corner order as the old exchange).  lo/hi are MY edge
+    strips (interior rows [0, _PY) / [Yl-_PY, Yl)); returns the strips
+    to mount BELOW/ABOVE my interior (on a 1-rank y axis that is the
+    periodic self-wrap, which is how the strips path is validated
+    against wrap_y on single-chip hardware)."""
+    n = jax.lax.psum(1, "y")
+    if n == 1:
+        lo_h, hi_h = hi, lo
+    else:
+        fwd = [(i, (i + 1) % n) for i in range(n)]
+        bwd = [(i, (i - 1) % n) for i in range(n)]
+        lo_h = jax.lax.ppermute(hi, "y", fwd)
+        hi_h = jax.lax.ppermute(lo, "y", bwd)
+    lo_h = _pad_exchange_x(lo_h, pad, ship, n_int, 0, _PY)
+    hi_h = _pad_exchange_x(hi_h, pad, ship, n_int, 0, _PY)
+    return lo_h, hi_h
+
+
 def _split_flags(mesh: Mesh, params: LBMParams, overlap):
     """Per-axis ICI-overlap split request (before feasibility): see the
     ``overlap`` doc in :func:`make_kernel_nsteps`."""
@@ -267,7 +299,7 @@ def make_kernel_nsteps(mesh: Mesh, params: LBMParams, n: int,
                        noise_impl: str = "hw", noise_dist: str = "clt4",
                        interpret: bool = False,
                        donate: bool = True, overlap="auto",
-                       use_ref: bool = False):
+                       use_ref: bool = False, y_exchange: str = "auto"):
     """n standard steps: fused Pallas kernel per shard + ppermute halos.
 
     Returns jitted SimState -> SimState over the mesh.  ``block`` = T
@@ -308,7 +340,7 @@ def make_kernel_nsteps(mesh: Mesh, params: LBMParams, n: int,
             "engine='halo' for z-sharded meshes")
     advance = _make_advance(mesh, params, block, tile, mode, transform,
                             noise_impl, noise_dist, interpret, overlap,
-                            use_ref)
+                            use_ref, y_exchange=y_exchange)
 
     def run(state: SimState, ref2=None) -> SimState:
         # enter post-collide space (jnp prelude + collide, GSPMD-sharded)
@@ -342,7 +374,8 @@ def make_kernel_ksteps(mesh: Mesh, params: LBMParams, n: int,
                        noise_impl: str = "hw", noise_dist: str = "clt4",
                        interpret: bool = False, overlap="auto",
                        use_ref: bool = False, resident: bool = False,
-                       pad_x=None):
+                       pad_x=None, y_exchange: str = "auto",
+                       mass_restore=None):
     """n K = collide∘stream steps in POST-COLLIDE space (no jnp
     entry/exit) — the sharded building block of the persistent-session
     path (:mod:`bflbm_tpu.kernels.session`).  Returns an UNJITTED
@@ -360,7 +393,9 @@ def make_kernel_ksteps(mesh: Mesh, params: LBMParams, n: int,
     layout)."""
     advance = _make_advance(mesh, params, block, tile, mode, transform,
                             noise_impl, noise_dist, interpret, overlap,
-                            use_ref, resident=resident, pad_x=pad_x)
+                            use_ref, resident=resident, pad_x=pad_x,
+                            y_exchange=y_exchange,
+                            mass_restore=mass_restore)
 
     def run_k(pc: SimState, ref2=None) -> SimState:
         return advance(pc, ref2, n)
@@ -370,12 +405,31 @@ def make_kernel_ksteps(mesh: Mesh, params: LBMParams, n: int,
 
 def _make_advance(mesh: Mesh, params: LBMParams, block, tile, mode,
                   transform, noise_impl, noise_dist, interpret, overlap,
-                  use_ref, resident=False, pad_x=None):
+                  use_ref, resident=False, pad_x=None,
+                  y_exchange: str = "auto", mass_restore=None):
     """Shared sweep machinery: traced fn(pc, ref2, n_k) advancing a
     post-collide SimState n_k K-steps via shard_map kernel sweeps.
-    See make_kernel_ksteps for ``resident`` / ``pad_x``."""
+    See make_kernel_ksteps for ``resident`` / ``pad_x``.
+
+    ``y_exchange`` picks the serial sweep's y-halo mechanism:
+    "auto" — y unsharded: kernel-maintained periodic wrap pads (wrap_y,
+    round 4e); y sharded: separate-strip kernel operands (round 5,
+    VERDICT r4 #2 — the kernel writes its interior edge rows into
+    compact strip buffers, the sweep ppermutes them whole and the next
+    kernel call reads them as extra operands; no strided y slice/DUS
+    ops at all, the ~0.92 ms/step residual of the r4d path).
+    "strips" — force the strip path even on y-unsharded meshes (the
+    1-rank ppermute degenerates to the periodic self-wrap: single-chip
+    hardware validation + A/B against wrap_y).
+    "dus" — the r4d in-place dynamic_update_slice exchange (A/B
+    baseline)."""
     names = mesh_lib.SPATIAL_AXES
     pspec = P(None, *names)
+    if y_exchange not in ("auto", "strips", "dus"):
+        raise ValueError(f"y_exchange {y_exchange!r}")
+    use_wrap_y = mesh.shape["y"] == 1 and y_exchange == "auto"
+    use_strips = (y_exchange == "strips"
+                  or (y_exchange == "auto" and mesh.shape["y"] > 1))
 
     def make_sweep(T, shape_loc, gdomain, PX):
         # stencil depth per K (see fused_step._step_kernel): the
@@ -408,13 +462,13 @@ def _make_advance(mesh: Mesh, params: LBMParams, block, tile, mode,
 
         def call(shape_c, tl_c, seed, fi, gi, ri=None, win=(0, 0),
                  odomain=None, owin=(0, 0), out_alias=None,
-                 wrap_y=False):
+                 wrap_y=False, ystrips=None):
             return _fused_step_call(
                 params, shape_c, tl_c, params.noise_on, seed, fi, gi,
                 mode, transform, T, noise_impl, noise_dist,
                 gdomain=gdomain, ext_mode=True, interpret=interpret,
                 ref=ri, win=win, odomain=odomain, owin=owin,
-                out_alias=out_alias, wrap_y=wrap_y)
+                out_alias=out_alias, wrap_y=wrap_y, ystrips=ystrips)
 
         def pick(shape_c):
             if interpret:        # single-tile grids only (CLAUDE.md)
@@ -485,7 +539,42 @@ def _make_advance(mesh: Mesh, params: LBMParams, block, tile, mode,
             # moved 2-row strided pieces and measured ~0.92 ms/step at
             # 256^3 — ~95% of the whole exchange cost
             # (benchmarks/results/shard_r4e.json nox/noy decomposition).
-            wrap_y = mesh.shape["y"] == 1
+            # use_strips (round 5): the same idea for Y-SHARDED meshes —
+            # the kernel writes compact edge strips, the sweep
+            # ppermutes them whole and the next call reads them as
+            # separate operands (see _make_advance y_exchange doc).
+            wrap_y = use_wrap_y
+
+            def seed_of(words, step0):
+                ox0 = (jax.lax.axis_index("x") * Xl).astype(jnp.int32)
+                oy0 = (jax.lax.axis_index("y") * Yl).astype(jnp.int32)
+                return jnp.concatenate(
+                    [words, jnp.stack([step0]),
+                     jnp.stack([ox0, oy0]).astype(jnp.int32)])
+
+            tl_c = tl if not interpret else (Xl, Yl)
+
+            if use_strips:
+                def local_sweep_strips(f_pad, g_pad, flo, fhi, glo, ghi,
+                                       words, step0, *maybe_ref):
+                    r_pad = maybe_ref[0] if maybe_ref else None
+                    f_pad = _pad_exchange_x(f_pad, PX, px, Xl, _PY, Yl)
+                    g_pad = _pad_exchange_x(g_pad, PX, px, Xl, _PY, Yl)
+                    flo, fhi = _strip_exchange(flo, fhi, PX, px, Xl)
+                    glo, ghi = _strip_exchange(glo, ghi, PX, px, Xl)
+                    return call(shape_loc, tl_c, seed_of(words, step0),
+                                f_pad, g_pad, r_pad, win=(wx0, 0),
+                                odomain=(pXl, pYl, Zl), owin=(PX, _PY),
+                                ystrips=(flo, fhi, glo, ghi))
+
+                sm = shard_map(
+                    local_sweep_strips, mesh=mesh,
+                    in_specs=(pspec,) * 6 + (P(), P())
+                    + ((pspec,) if use_ref else ()),
+                    out_specs=(pspec,) * 6,
+                    check_vma=False,
+                )
+                return sm, (px, py_ship), True
 
             def local_sweep_padded(f_pad, g_pad, words, step0,
                                    *maybe_ref):
@@ -511,14 +600,8 @@ def _make_advance(mesh: Mesh, params: LBMParams, block, tile, mode,
                                             fill_zeros=False)
                     g_pad = _pad_exchange_y(g_pad, _PY, py_ship, Yl,
                                             fill_zeros=False)
-                ox0 = (jax.lax.axis_index("x") * Xl).astype(jnp.int32)
-                oy0 = (jax.lax.axis_index("y") * Yl).astype(jnp.int32)
-                seed = jnp.concatenate(
-                    [words, jnp.stack([step0]),
-                     jnp.stack([ox0, oy0]).astype(jnp.int32)])
-                return call(shape_loc,
-                            tl if not interpret else (Xl, Yl),
-                            seed, f_pad, g_pad, r_pad, win=(wx0, 0),
+                return call(shape_loc, tl_c, seed_of(words, step0),
+                            f_pad, g_pad, r_pad, win=(wx0, 0),
                             odomain=(pXl, pYl, Zl), owin=(PX, _PY),
                             wrap_y=wrap_y)
 
@@ -529,7 +612,7 @@ def _make_advance(mesh: Mesh, params: LBMParams, block, tile, mode,
                 out_specs=(pspec, pspec),
                 check_vma=False,
             )
-            return sm, (px, py_ship)
+            return sm, (px, py_ship), False
 
         def local_sweep(f_loc, g_loc, words, step0, *maybe_ref):
             r_loc = maybe_ref[0] if maybe_ref else None
@@ -604,12 +687,15 @@ def _make_advance(mesh: Mesh, params: LBMParams, block, tile, mode,
             # partition: y bands span the FULL x width (wx=Xl tiles
             # like the interior; thin-x corners would register-spill),
             # x bands cover only the middle rows [yi0, yi0+Yi)
+            bands = []
             if sx:
-                fo, go = band(fo, go, 0, px, yi0, Yi)
-                fo, go = band(fo, go, Xl - px, px, yi0, Yi)
+                bands += [(0, px, yi0, Yi), (Xl - px, px, yi0, Yi)]
             if sy:
-                fo, go = band(fo, go, 0, Xl, 0, _PY)
-                fo, go = band(fo, go, 0, Xl, Yl - _PY, _PY)
+                bands += [(0, Xl, 0, _PY), (0, Xl, Yl - _PY, _PY)]
+            if SPLIT_DEBUG is not None:
+                bands = bands[:int(SPLIT_DEBUG)]
+            for b in bands:
+                fo, go = band(fo, go, *b)
             return fo, go
 
         # check_vma=False: pallas_call outputs carry no varying-mesh-axes
@@ -621,7 +707,7 @@ def _make_advance(mesh: Mesh, params: LBMParams, block, tile, mode,
             out_specs=(pspec, pspec),
             check_vma=False,
         )
-        return sm, None
+        return sm, None, False
 
     def advance(state: SimState, ref2, n_k: int) -> SimState:
         if resident:
@@ -661,13 +747,51 @@ def _make_advance(mesh: Mesh, params: LBMParams, block, tile, mode,
         if PX < sd * T:
             raise ValueError(
                 f"pad_x={pad_x} shallower than the sd*T={sd * T} halo")
-        wrap_y = mesh.shape["y"] == 1
+        wrap_y = use_wrap_y
 
-        def make_body(sweep_sm, T_, ref_arg):
+        def make_restore(padded_layout):
+            """Cadenced global exact-mass restore (round 5, VERDICT r4
+            #5 — see fused_step.mass_restore_step): sum the interior
+            windows, psum, spread the rounding defect uniformly over
+            the rest population's interior.  A pure function of (state,
+            step), so same-sweep-boundary chunkings stay bitwise."""
+            if mass_restore is None:
+                return None
+            interval, m0f, m0g = mass_restore
+            ncg = float(gshape[0]) * gshape[1] * gshape[2]
+            offx = PX if padded_layout else 0
+            offy = _PY if padded_layout else 0
+
+            def one(a_loc, m0):
+                q = a_loc.shape[0]
+                interior = jax.lax.slice(
+                    a_loc, (0, offx, offy, 0),
+                    (q, offx + Xl, offy + Yl, Zl))
+                s = jax.lax.psum(jax.lax.psum(
+                    jnp.sum(interior), "x"), "y")
+                row = jax.lax.slice(
+                    a_loc, (0, offx, offy, 0),
+                    (1, offx + Xl, offy + Yl, Zl)) + (m0 - s) / ncg
+                return jax.lax.dynamic_update_slice(
+                    a_loc, row, (0, offx, offy, 0))
+
+            sm_r = shard_map(one, mesh=mesh, in_specs=(pspec, P()),
+                             out_specs=pspec, check_vma=False)
+
+            def restore(step_prev, step_now, f, g):
+                crossed = (step_now // jnp.int32(interval)
+                           > step_prev // jnp.int32(interval))
+                return jax.lax.cond(
+                    crossed,
+                    lambda fg: (sm_r(fg[0], m0f), sm_r(fg[1], m0g)),
+                    lambda fg: fg, (f, g))
+            return restore
+
+        def make_body(sweep_sm, T_, ref_arg, with_strips, restore):
             ref_args = () if ref_arg is None else (ref_arg,)
 
             def body(carry, _):
-                f, g, key, step = carry
+                f, g, extras, key, step = carry
                 # one word per physical step (drawn from the per-step key
                 # splits) — hash noise stream bitwise-invariant to T
                 k = key
@@ -677,9 +801,16 @@ def _make_advance(mesh: Mesh, params: LBMParams, block, tile, mode,
                     words.append(jax.random.randint(
                         sub, (), minval=jnp.iinfo(jnp.int32).min,
                         maxval=jnp.iinfo(jnp.int32).max, dtype=jnp.int32))
-                f, g = sweep_sm(f, g, jnp.stack(words),
+                outs = sweep_sm(f, g, *extras, jnp.stack(words),
                                 step.astype(jnp.int32), *ref_args)
-                return (f, g, k, step + T_), None
+                if with_strips:
+                    f, g = outs[0], outs[1]
+                    extras = tuple(outs[2:])
+                else:
+                    f, g = outs
+                if restore is not None:
+                    f, g = restore(step, step + T_, f, g)
+                return (f, g, extras, k, step + T_), None
             return body
 
         # padded-carry plumbing (serial sweeps): enter/leave the kernel
@@ -705,20 +836,46 @@ def _make_advance(mesh: Mesh, params: LBMParams, block, tile, mode,
             return shard_map(one, mesh=mesh, in_specs=(pspec,),
                              out_specs=pspec, check_vma=False)
 
+        def prime_strips(f_pad, g_pad):
+            """Initial edge strips for the strips sweep: slice the
+            interior edge rows out of the padded state — bitwise what
+            the previous sweep's kernel strip writes would have held
+            (the strip x pads are garbage either way; the sweep's strip
+            x-exchange fills the consumed columns).  Once per advance
+            phase entry, amortized over the chunk."""
+            def one(a):
+                lo = jax.lax.slice(
+                    a, (0, 0, _PY, 0),
+                    (a.shape[0], a.shape[1], 2 * _PY, a.shape[3]))
+                hi = jax.lax.slice(
+                    a, (0, 0, Yl, 0),
+                    (a.shape[0], a.shape[1], Yl + _PY, a.shape[3]))
+                return lo, hi
+            sm_p = shard_map(one, mesh=mesh, in_specs=(pspec,),
+                             out_specs=(pspec, pspec), check_vma=False)
+            flo, fhi = sm_p(f_pad)
+            glo, ghi = sm_p(g_pad)
+            return (flo, fhi, glo, ghi)
+
         def run_phase(carry, padded, T_, n_sweeps, use_scan):
-            sweep_sm, pads = make_sweep(T_, shape_loc, gshape, PX)
-            f, g, key, step = carry
+            sweep_sm, pads, with_strips = make_sweep(T_, shape_loc,
+                                                     gshape, PX)
+            f, g, extras, key, step = carry
             ref_arg = ref2
             if pads is not None:
                 px_, ship = pads
                 if not padded:
                     f, g = pad_f(f), pad_f(g)
+                if with_strips and not extras:
+                    extras = prime_strips(f, g)
                 if ref2 is not None:
                     ref_arg = prep_ref_sm(px_, ship)(ref2)
             elif padded:
                 f, g = unpad_f(f), unpad_f(g)
-            body = make_body(sweep_sm, T_, ref_arg)
-            c = (f, g, key, step)
+                extras = ()
+            body = make_body(sweep_sm, T_, ref_arg, with_strips,
+                             make_restore(pads is not None))
+            c = (f, g, extras, key, step)
             if use_scan and n_sweeps > 1:
                 c, _ = jax.lax.scan(body, c, None, length=n_sweeps)
             else:
@@ -726,13 +883,13 @@ def _make_advance(mesh: Mesh, params: LBMParams, block, tile, mode,
                     c, _ = body(c, None)
             return c, pads is not None
 
-        carry = (state.f, state.g, state.key, state.step)
+        carry = (state.f, state.g, (), state.key, state.step)
         padded = resident
         if n_blocked:
             carry, padded = run_phase(carry, padded, T, n_blocked, True)
         if n_rest:
             carry, padded = run_phase(carry, padded, 1, n_rest, False)
-        f, g, key, step = carry
+        f, g, _extras, key, step = carry
         if padded and not resident:
             f, g = unpad_f(f), unpad_f(g)
         elif resident and not padded:
