@@ -78,6 +78,12 @@ def phase_b(args, kernel: bool = False):
             checkpoint_path=f"{eq_dir}/checkpoint0000500",
             out_dir=f"{args.out}/mixture-fluct-kernel{suffix}")
         engine = "pallas"
+        if args.seed_base != 20_000:
+            # independent-seed re-validation (round 5): a fresh seed
+            # makes the run's statistical independence VISIBLE — its
+            # ratios must differ from prior artifacts at the ~1e-3
+            # sampling level (tests/test_relax_invariance.py rationale)
+            cfg = cfg.replace(seed=args.seed_base, reseed=True)
     kernel_opts = ({"noise_dist": args.noise_dist}
                    if kernel and args.noise_dist else None)
     t0 = time.time()
@@ -104,6 +110,8 @@ def phase_b(args, kernel: bool = False):
            "sf_frames": int(window // 100)}
     if kernel and args.noise_dist:
         out["noise_dist"] = args.noise_dist
+    if args.seed_base != 20_000:
+        out["seed"] = args.seed_base
     worst = 0.0
     for p, name in enumerate(names):
         if name not in norm:

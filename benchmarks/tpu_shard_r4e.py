@@ -104,7 +104,8 @@ for name, _, _ in CASES:
     s, sh, ne = (results.get(f"{name} {k}")
                  for k in ("single", "sharded", "noexch"))
     if all(isinstance(v, float) for v in (s, sh, ne)):
-        ms = CELLS / 1e6  # Mcells -> ms per step at 1000 MLUPS
+        # ms/step = 1e3 * CELLS / (mlups * 1e6) = CELLS/1e3 / mlups
+        ms = CELLS / 1e3
         results[f"{name} ms_exchange"] = round(ms / sh - ms / ne, 3)
         results[f"{name} ms_layout"] = round(ms / ne - ms / s, 3)
 

@@ -91,7 +91,8 @@ for name, _, _ in CASES:
     s, sh, nr = (results.get(f"{name} {k}")
                  for k in ("single", "sharded", "nonres"))
     if all(isinstance(v, float) for v in (s, sh, nr)):
-        ms = CELLS / 1e6  # Mcells -> ms/step at 1000 MLUPS
+        # ms/step = 1e3 * CELLS / (mlups * 1e6) = CELLS/1e3 / mlups
+        ms = CELLS / 1e3
         results[f"{name} ms_resident_win"] = round(ms / nr - ms / sh, 3)
         results[f"{name} ms_vs_single"] = round(ms / sh - ms / s, 3)
 

@@ -164,8 +164,14 @@ def noise_statistics(noise_impl, noise_dist="clt4"):
     cc = float(np.corrcoef(dmf[1].ravel(), dmg[1].ravel())[0, 1])
     name = f"noise_variance_{noise_impl}" + (
         "" if noise_dist == "clt4" else f"_{noise_dist}")
+    # worst_dev at this sample count (32*32*128 cells, one step) has a
+    # ~0.5-1% sampling floor per mode: entries near 1% are resolution,
+    # not bias — the 16x re-sample resolves e.g. hash_clt2 to 0.16%
+    # at 2.1M samples (bound_r4.json noise_var_resample).
     check(worst < 0.03 and cc < -0.999,
-          name, worst_dev=round(worst, 4), mom_anticorr=round(cc, 5))
+          name, worst_dev=round(worst, 4), mom_anticorr=round(cc, 5),
+          sample_floor="~0.5-1% at 131k cells; 16x resample 0.16% "
+                       "(bound_r4.json)")
 
 
 def conservation():
@@ -299,6 +305,28 @@ def ext_mode_multitile():
     fetch_scalar(a), fetch_scalar(b)
     d = float(np.max(np.abs(np.asarray(a.f) - np.asarray(b.f))))
     check(d == 0.0, "ext_mode_overlap_noise_bitwise", max_df=d)
+
+    # 4/5. round-5 strips y exchange (the y-sharded-mesh path, forced
+    # on the 1-device mesh where the 1-rank ppermute degenerates to the
+    # periodic self-wrap): multi-tile grid exercises the strip
+    # out-DMAs, the per-row-position ext fragment cases and the
+    # fresh-load "hi" case that interpret tests (single-tile) cannot.
+    got3 = kernel_par.make_kernel_nsteps(
+        mesh, params, n, block=2, donate=False, overlap=False,
+        y_exchange="strips")(state)
+    fetch_scalar(got3)
+    df3 = float(jnp.max(jnp.abs(got3.f - ref.f)))
+    check(df3 < 3e-5, "ext_mode_ystrips_parity", max_df=df3)
+
+    c = kernel_par.make_kernel_nsteps(
+        mesh, params_n, 3, block=2, noise_impl="hash", donate=False,
+        overlap=False, y_exchange="strips")(copy(st))
+    b2 = kernel_par.make_kernel_nsteps(
+        mesh, params_n, 3, block=2, noise_impl="hash", donate=False,
+        overlap=False)(copy(st))
+    fetch_scalar(c), fetch_scalar(b2)
+    d2 = float(np.max(np.abs(np.asarray(c.f) - np.asarray(b2.f))))
+    check(d2 == 0.0, "ext_mode_ystrips_noise_bitwise", max_df=d2)
 
 
 def noise_dump_covariance():
