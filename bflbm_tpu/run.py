@@ -474,6 +474,12 @@ def main(argv=None):
                     choices=["clt4", "clt2", "u8", "bm"],
                     help="kernel normal generator (clt2: cheapest, "
                     "exact first/second moments, support +-2.44 sigma)")
+    ap.add_argument("--mass-restore-int", type=int, default=None,
+                    help="session engines: re-pin total f/g mass to the "
+                    "run's invariant every N steps (default 1000; 0 "
+                    "disables) — bounds the secular f32 drift at one "
+                    "interval's rounding (the reference computes in "
+                    "double and never drifts)")
     ap.add_argument("--noise-source", default=None,
                     choices=["threefry", "hash"],
                     help="jnp-engine noise stream; 'hash' = per-cell "
@@ -549,7 +555,9 @@ def main(argv=None):
             else contextlib.nullcontext())
     kernel_opts = {k: v for k, v in (("block", args.block),
                                      ("transform", args.transform),
-                                     ("noise_dist", args.noise_dist))
+                                     ("noise_dist", args.noise_dist),
+                                     ("mass_restore_int",
+                                      args.mass_restore_int))
                    if v is not None}
     with prof:
         state = run(cfg, mesh=mesh, engine=args.engine,
