@@ -61,15 +61,27 @@ def run(label, mri):
     pc = sess.enter(st)
     pc = sess.advance(pc, 100)   # compile + warmup
     fetch_scalar(pc)
+    print(json.dumps({"label": label, "warm": True,
+                      "t": round(time.time() - t0, 1)}), flush=True)
     series = []
     tt = time.time()
     done = 100
     while done < args.steps:
         n = min(CHUNK, args.steps - done)
-        pc = sess.advance(pc, n)
+        # 1000-step sub-chunks (= chunk_cap, the production cadence):
+        # a single 10k-step device program outlives the tunnel's RPC
+        # window and crashes the worker
+        for _ in range(n // 1000):
+            pc = sess.advance(pc, 1000)
+        rem = n % 1000
+        if rem:
+            pc = sess.advance(pc, rem)
         done += n
         mf = float(np.asarray(jnp.sum(sess.exit_view(pc).f)))
         series.append(round(mf / m0 - 1.0, 12))
+        print(json.dumps({"label": label, "step": done,
+                          "rel": series[-1],
+                          "t": round(time.time() - t0, 1)}), flush=True)
     wall = time.time() - tt
     mlups = CELLS * (done - 100) / wall / 1e6
     drift_per_step = series[-1] / done
