@@ -201,6 +201,12 @@ def _pad_exchange_y(a, py, ship, n_int, fill_zeros=True):
 # Read at trace time; set before building a session/advance.
 SPLIT_DEBUG = None
 
+# Overlap-split band assembly: "dus" (compact band outputs + XLA
+# in-place dynamic_update_slice — round-5 default) or "alias" (pallas
+# input_output_aliases — r4 behavior; pays an ~8 ms/step defensive
+# copy on the first aliasing call, overlap_r5b.json).  Trace-time.
+SPLIT_ASSEMBLY = "dus"
+
 
 def _strip_exchange(lo, hi, pad, ship, n_int):
     """Ship the kernel-written y-edge strips to the y ring neighbors
@@ -677,12 +683,31 @@ def _make_advance(mesh: Mesh, params: LBMParams, block, tile, mode,
                 """Seam-band call: out [x0,x0+wx) x [y0,y0+wy), reading
                 the exchanged ext block DIRECTLY at window origin
                 (x0, y0) (ext row r is global local-x r - px, col c is
-                y c - _PY) and writing into the (fo, go) assembly
-                buffers in place."""
-                return call((wx, wy, Zl), pick_band((wx, wy, Zl)),
-                            seed_at(x0, y0), f_ext, g_ext, r_ext,
-                            win=(x0, y0), odomain=shape_loc,
-                            owin=(x0, y0), out_alias=(fo, go))
+                y c - _PY).  Assembly into (fo, go):
+
+                "dus" (default, round 5) — the band produces a COMPACT
+                output and XLA dynamic_update_slice writes it into the
+                assembly buffer, which aliases IN PLACE (the padded-
+                carry exchange relies on the same property).  The r4
+                out_alias route (pallas input_output_aliases) triggers
+                an ~8 ms/step one-off DEFENSIVE COPY of the full
+                assembly pair on the first aliasing call
+                (overlap_r5b.json marginals: 8.26/0.39/0.21/0.33 —
+                the true per-band cost is the sub-ms tail), which was
+                ~90% of the measured split penalty.
+
+                "alias" — the r4 behavior, kept for A/B."""
+                if SPLIT_ASSEMBLY == "alias":
+                    return call((wx, wy, Zl), pick_band((wx, wy, Zl)),
+                                seed_at(x0, y0), f_ext, g_ext, r_ext,
+                                win=(x0, y0), odomain=shape_loc,
+                                owin=(x0, y0), out_alias=(fo, go))
+                fb, gb = call((wx, wy, Zl), pick_band((wx, wy, Zl)),
+                              seed_at(x0, y0), f_ext, g_ext, r_ext,
+                              win=(x0, y0))
+                fo = jax.lax.dynamic_update_slice(fo, fb, (0, x0, y0, 0))
+                go = jax.lax.dynamic_update_slice(go, gb, (0, x0, y0, 0))
+                return fo, go
 
             # partition: y bands span the FULL x width (wx=Xl tiles
             # like the interior; thin-x corners would register-spill),
