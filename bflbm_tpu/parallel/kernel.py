@@ -201,12 +201,6 @@ def _pad_exchange_y(a, py, ship, n_int, fill_zeros=True):
 # Read at trace time; set before building a session/advance.
 SPLIT_DEBUG = None
 
-# Overlap-split band assembly: "dus" (compact band outputs + XLA
-# in-place dynamic_update_slice — round-5 default) or "alias" (pallas
-# input_output_aliases — r4 behavior; pays an ~8 ms/step defensive
-# copy on the first aliasing call, overlap_r5b.json).  Trace-time.
-SPLIT_ASSEMBLY = "dus"
-
 
 def _strip_exchange(lo, hi, pad, ship, n_int):
     """Ship the kernel-written y-edge strips to the y ring neighbors
@@ -622,16 +616,6 @@ def _make_advance(mesh: Mesh, params: LBMParams, block, tile, mode,
 
         def local_sweep(f_loc, g_loc, words, step0, *maybe_ref):
             r_loc = maybe_ref[0] if maybe_ref else None
-            f_ext, g_ext = f_loc, g_loc
-            f_ext = halo_par.exchange_halo(f_ext, "x", 1, px)
-            g_ext = halo_par.exchange_halo(g_ext, "x", 1, px)
-            f_ext = halo_par.exchange_halo(f_ext, "y", 2, py_ship, _PY)
-            g_ext = halo_par.exchange_halo(g_ext, "y", 2, py_ship, _PY)
-            r_ext = None
-            if r_loc is not None:
-                r_ext = halo_par.exchange_halo(r_loc, "x", 1, px)
-                r_ext = halo_par.exchange_halo(r_ext, "y", 2, py_ship,
-                                               _PY)
             ox0 = (jax.lax.axis_index("x") * Xl).astype(jnp.int32)
             oy0 = (jax.lax.axis_index("y") * Yl).astype(jnp.int32)
             base = jnp.concatenate([words, jnp.stack([step0])])
@@ -679,32 +663,77 @@ def _make_advance(mesh: Mesh, params: LBMParams, block, tile, mode,
                           seed_at(xi0, yi0), f_in, g_in, r_in,
                           odomain=shape_loc, owin=(xi0, yi0))
 
-            def band(fo, go, x0, wx, y0, wy):
-                """Seam-band call: out [x0,x0+wx) x [y0,y0+wy), reading
-                the exchanged ext block DIRECTLY at window origin
-                (x0, y0) (ext row r is global local-x r - px, col c is
-                y c - _PY).  Assembly into (fo, go):
+            # --- compact per-band ext inputs (round 5) ---------------
+            # The r4 split materialized FULL exchanged ext blocks
+            # (exchange_halo concat: ~2.8 GB/sweep of pure HBM copy at
+            # 256^3 — overlap_r5b.json pinned 8.26 of the 9.2 ms/step
+            # split penalty on exactly this; the true per-band marginal
+            # is 0.2-0.4 ms).  Each band now gets a band-sized ext
+            # input built from thin slices + ppermuted neighbor strips
+            # (local wrap on 1-rank axes), and writes a compact output
+            # assembled with in-place dynamic_update_slice.
 
-                "dus" (default, round 5) — the band produces a COMPACT
-                output and XLA dynamic_update_slice writes it into the
-                assembly buffer, which aliases IN PLACE (the padded-
-                carry exchange relies on the same property).  The r4
-                out_alias route (pallas input_output_aliases) triggers
-                an ~8 ms/step one-off DEFENSIVE COPY of the full
-                assembly pair on the first aliasing call
-                (overlap_r5b.json marginals: 8.26/0.39/0.21/0.33 —
-                the true per-band cost is the sub-ms tail), which was
-                ~90% of the measured split penalty.
+            def _ship(strip, axis_name, from_lower):
+                n = jax.lax.psum(1, axis_name)
+                if n == 1:
+                    return strip        # periodic self-wrap
+                perm = ([(i, (i + 1) % n) for i in range(n)] if from_lower
+                        else [(i, (i - 1) % n) for i in range(n)])
+                return jax.lax.ppermute(strip, axis_name, perm)
 
-                "alias" — the r4 behavior, kept for A/B."""
-                if SPLIT_ASSEMBLY == "alias":
-                    return call((wx, wy, Zl), pick_band((wx, wy, Zl)),
-                                seed_at(x0, y0), f_ext, g_ext, r_ext,
-                                win=(x0, y0), odomain=shape_loc,
-                                owin=(x0, y0), out_alias=(fo, go))
+            def _yext_wrap(a):
+                # y-unsharded x band: local periodic wrap pads
+                lo = jax.lax.slice_in_dim(a, Yl - _PY, Yl, axis=2)
+                hi = jax.lax.slice_in_dim(a, 0, _PY, axis=2)
+                return jnp.concatenate([lo, a, hi], axis=2)
+
+            def xband_in(a, x0):
+                """x-band ext input: x rows [x0-px, x0+px+px) (neighbor
+                strip on the split side), y rows [yi0-_PY, yi0+Yi+_PY)
+                — interior-only when sy (corners belong to the y
+                bands), local wrap pads when y is unsplit."""
+                ay = a if sy else _yext_wrap(a)
+                if x0 == 0:
+                    loc = jax.lax.slice_in_dim(ay, 0, 2 * px, axis=1)
+                    nb = _ship(jax.lax.slice_in_dim(ay, Xl - px, Xl,
+                                                    axis=1), "x", True)
+                    return jnp.concatenate([nb, loc], axis=1)
+                loc = jax.lax.slice_in_dim(ay, x0 - px, Xl, axis=1)
+                nb = _ship(jax.lax.slice_in_dim(ay, 0, px, axis=1),
+                           "x", False)
+                return jnp.concatenate([loc, nb], axis=1)
+
+            def yband_in(a, y0, wy):
+                """y-band ext input: y rows [y0-_PY, y0+wy+_PY) with the
+                y-neighbor strip, then x-extended (strips first, so the
+                x hop carries the DIAGONAL corners — the usual two-hop
+                order; 1-rank x degenerates to the local wrap)."""
+                if y0 == 0:
+                    loc = jax.lax.slice_in_dim(a, 0, wy + _PY, axis=2)
+                    nb = _ship(jax.lax.slice_in_dim(a, Yl - _PY, Yl,
+                                                    axis=2), "y", True)
+                    slab = jnp.concatenate([nb, loc], axis=2)
+                else:
+                    loc = jax.lax.slice_in_dim(a, y0 - _PY, Yl, axis=2)
+                    nb = _ship(jax.lax.slice_in_dim(a, 0, _PY, axis=2),
+                               "y", False)
+                    slab = jnp.concatenate([loc, nb], axis=2)
+                xlo = _ship(jax.lax.slice_in_dim(slab, Xl - px, Xl,
+                                                 axis=1), "x", True)
+                xhi = _ship(jax.lax.slice_in_dim(slab, 0, px, axis=1),
+                            "x", False)
+                return jnp.concatenate([xlo, slab, xhi], axis=1)
+
+            def band(fo, go, kind, x0, wx, y0, wy):
+                """Seam-band call on its compact ext input; output
+                [x0,x0+wx) x [y0,y0+wy) assembled in place (native DUS
+                — unlike pallas input_output_aliases it does not
+                trigger defensive copies here)."""
+                mk = (lambda a: xband_in(a, x0)) if kind == "x" else \
+                    (lambda a: yband_in(a, y0, wy))
+                rb = mk(r_loc) if r_loc is not None else None
                 fb, gb = call((wx, wy, Zl), pick_band((wx, wy, Zl)),
-                              seed_at(x0, y0), f_ext, g_ext, r_ext,
-                              win=(x0, y0))
+                              seed_at(x0, y0), mk(f_loc), mk(g_loc), rb)
                 fo = jax.lax.dynamic_update_slice(fo, fb, (0, x0, y0, 0))
                 go = jax.lax.dynamic_update_slice(go, gb, (0, x0, y0, 0))
                 return fo, go
@@ -714,9 +743,11 @@ def _make_advance(mesh: Mesh, params: LBMParams, block, tile, mode,
             # x bands cover only the middle rows [yi0, yi0+Yi)
             bands = []
             if sx:
-                bands += [(0, px, yi0, Yi), (Xl - px, px, yi0, Yi)]
+                bands += [("x", 0, px, yi0, Yi),
+                          ("x", Xl - px, px, yi0, Yi)]
             if sy:
-                bands += [(0, Xl, 0, _PY), (0, Xl, Yl - _PY, _PY)]
+                bands += [("y", 0, Xl, 0, _PY),
+                          ("y", 0, Xl, Yl - _PY, _PY)]
             if SPLIT_DEBUG is not None:
                 bands = bands[:int(SPLIT_DEBUG)]
             for b in bands:
