@@ -232,17 +232,20 @@ def _split_flags(mesh: Mesh, params: LBMParams, overlap):
     if overlap == "force":
         return True, True
     if overlap == "auto":
-        # Profit gate from the single-chip measurement
-        # (benchmarks/results: overlap='force' vs serial at 256^3):
-        # the split's seam-band recompute costs +9.6% deterministic
-        # but +21.4% fluctuating (narrow-band pallas launches +
-        # per-band noise generation), while the ICI exchange it
-        # hides is ~5-10% of a sweep on v5e meshes.  So 'auto'
-        # splits only when noise is off; fluctuating runs keep the
-        # serial exchange (pass overlap=True to override — e.g.
-        # when ICI is the bottleneck: DCN multi-host, large T).
-        return (mesh.shape["x"] > 1 and not params.noise_on,
-                mesh.shape["y"] > 1 and not params.noise_on)
+        # Profit gate, round-5 measurements (overlap_r5d.json): the
+        # compact-band split costs ~1.9 ms/step at 256^3-local
+        # (+19.5% fluct, +18.2% determ), while the serial exchange it
+        # would hide is nearly free on single-host meshes since
+        # wrap_y/strips (~0.03 ms y-unsharded, ~0.25 ms strips —
+        # shard_r4e/shard_r5.json) plus ~2 ms of ICI strip transfer
+        # on a real v5e ring — about break-even at best.  So 'auto'
+        # now keeps the SERIAL sweep for every single-host config,
+        # deterministic included (the r4 gate split determ runs on the
+        # pre-r4e numbers where the serial exchange cost ~1 ms).
+        # Pass overlap=True where the exchange is the larger term —
+        # DCN multi-host, very large T — the split then hides it at
+        # the measured ~1.9 ms/step premium.
+        return False, False
     if overlap:
         return mesh.shape["x"] > 1, mesh.shape["y"] > 1
     return False, False

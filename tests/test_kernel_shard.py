@@ -178,7 +178,10 @@ def test_kernel_overlap_split_matches_jnp_deterministic():
     ref = state
     for _ in range(n):
         ref, _ = model.step(ref, params)
-    got = _run((2, 4, 1), state, params, n, block=1)
+    # overlap=True: since round 5 'auto' keeps the serial sweep for
+    # every single-host config (gate doc in _split_flags), so the
+    # split must be requested explicitly to be exercised here
+    got = _run((2, 4, 1), state, params, n, block=1, overlap=True)
     assert int(got.step) == n
     np.testing.assert_allclose(np.asarray(got.f), np.asarray(ref.f),
                                rtol=0, atol=2e-5)
