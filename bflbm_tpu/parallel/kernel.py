@@ -202,25 +202,48 @@ def _pad_exchange_y(a, py, ship, n_int, fill_zeros=True):
 SPLIT_DEBUG = None
 
 
-def _strip_exchange(lo, hi, pad, ship, n_int):
+def _strip_exchange(lo, hi, pad, ship, n_int, rows=None):
     """Ship the kernel-written y-edge strips to the y ring neighbors
-    (whole-buffer ppermute — no slicing, the strips are already
-    compact) and patch the received strips' x pad columns with the x
+    and patch the received strips' x pad columns with the x
     neighbors' columns (which carry the DIAGONAL corner data, since
     every rank's strips arrive from its own y neighbor first — the
     same two-hop corner order as the old exchange).  lo/hi are MY edge
     strips (interior rows [0, _PY) / [Yl-_PY, Yl)); returns the strips
     to mount BELOW/ABOVE my interior (on a 1-rank y axis that is the
     periodic self-wrap, which is how the strips path is validated
-    against wrap_y on single-chip hardware)."""
+    against wrap_y on single-chip hardware).
+
+    rows: the stencil consumes only this many strip rows adjacent to
+    the interior (sd*T; r4b proved the far rows zero-replaceable
+    bitwise for the identical DUS-mode geometry) — on multi-rank y
+    axes only those rows ride the ICI ppermute and the far rows are
+    zero-filled locally, a 4x y-ICI cut for the uncoupled block=2
+    case.  1-rank axes keep the free whole-strip self-wrap."""
     n = jax.lax.psum(1, "y")
     if n == 1:
         lo_h, hi_h = hi, lo
     else:
         fwd = [(i, (i + 1) % n) for i in range(n)]
         bwd = [(i, (i - 1) % n) for i in range(n)]
-        lo_h = jax.lax.ppermute(hi, "y", fwd)
-        hi_h = jax.lax.ppermute(lo, "y", bwd)
+        k = _PY if rows is None else int(rows)
+        if k < _PY:
+            # lo_h mounts at ext rows [0, _PY): consumed rows are the
+            # LAST k (nearest the interior) = the sender's hi-strip
+            # tail; hi_h mounts above: consumed rows are the FIRST k
+            zshape = list(lo.shape)
+            zshape[2] = _PY - k
+            z = jnp.zeros(zshape, lo.dtype)
+            lo_h = jnp.concatenate(
+                [z, jax.lax.ppermute(
+                    jax.lax.slice_in_dim(hi, _PY - k, _PY, axis=2),
+                    "y", fwd)], axis=2)
+            hi_h = jnp.concatenate(
+                [jax.lax.ppermute(
+                    jax.lax.slice_in_dim(lo, 0, k, axis=2),
+                    "y", bwd), z], axis=2)
+        else:
+            lo_h = jax.lax.ppermute(hi, "y", fwd)
+            hi_h = jax.lax.ppermute(lo, "y", bwd)
     lo_h = _pad_exchange_x(lo_h, pad, ship, n_int, 0, _PY)
     hi_h = _pad_exchange_x(hi_h, pad, ship, n_int, 0, _PY)
     return lo_h, hi_h
@@ -563,8 +586,10 @@ def _make_advance(mesh: Mesh, params: LBMParams, block, tile, mode,
                     r_pad = maybe_ref[0] if maybe_ref else None
                     f_pad = _pad_exchange_x(f_pad, PX, px, Xl, _PY, Yl)
                     g_pad = _pad_exchange_x(g_pad, PX, px, Xl, _PY, Yl)
-                    flo, fhi = _strip_exchange(flo, fhi, PX, px, Xl)
-                    glo, ghi = _strip_exchange(glo, ghi, PX, px, Xl)
+                    flo, fhi = _strip_exchange(flo, fhi, PX, px, Xl,
+                                               rows=py_ship)
+                    glo, ghi = _strip_exchange(glo, ghi, PX, px, Xl,
+                                               rows=py_ship)
                     return call(shape_loc, tl_c, seed_of(words, step0),
                                 f_pad, g_pad, r_pad, win=(wx0, 0),
                                 odomain=(pXl, pYl, Zl), owin=(PX, _PY),
