@@ -365,6 +365,42 @@ def test_kernel_shard_use_ref_matches_single_device():
                                float(jnp.sum(ref.f)), rtol=5e-6)
 
 
+def test_kernel_shard_use_ref_overlap_split_matches_serial():
+    """The compact-band split (round 5) threads the USE_REF_STATE
+    stack through band-sized ext inputs; a fluctuating use_ref split
+    trajectory must match the serial sweep to f32 round-off.  (Unlike
+    the no-ref case — bitwise, test above — use_ref rounds differently
+    across decompositions at a few ulps/step near the seams: the ref
+    operand's differing ext layouts perturb the amplitude pipeline's
+    vector arithmetic.  Measured 2.4e-7 after 2 steps; a band
+    row-offset bug in the ref threading would show at the ~1e-3
+    amplitude scale.  Same tolerance rationale as
+    test_kernel_shard_use_ref_matches_single_device.)"""
+    params = LBMParams(alpha0=0.0, kBT=1e-5)
+    shape = (16, 96, 128)
+    rng = np.random.default_rng(7)
+    rho_ref = jnp.asarray(1.0 + 0.2 * rng.random(shape), jnp.float32)
+    ref2 = jnp.stack([rho_ref, 0.5 * rho_ref])
+    mesh = mesh_lib.make_mesh((2, 4, 1))
+    spec = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, *mesh_lib.SPATIAL_AXES))
+    outs = []
+    for ov in (True, False):
+        run = kernel_par.make_kernel_nsteps(
+            mesh, params, 3, block=1, noise_impl="hash",
+            transform="mxu", interpret=True, donate=False,
+            use_ref=True, overlap=ov)
+        st = model.init_mixture(shape, params, dtype=jnp.float32)
+        outs.append(run(mesh_lib.shard_state(st, mesh),
+                        jax.device_put(ref2, spec)))
+    np.testing.assert_allclose(np.asarray(outs[0].f),
+                               np.asarray(outs[1].f),
+                               rtol=0, atol=5e-6)
+    np.testing.assert_allclose(np.asarray(outs[0].g),
+                               np.asarray(outs[1].g),
+                               rtol=0, atol=5e-6)
+
+
 def test_kernel_shard_use_ref_zero_region_bitwise():
     """Cells whose ref densities are zero draw zero noise on the sharded
     path too: the fluctuating use_ref run must bitwise equal the kBT=0
