@@ -84,7 +84,10 @@ for name, info in results.items():
 show("decomposition invariance (kBT=1e-5, 20 steps; float-rounding "
      "level deltas only — same normals on every layout)", results)
 show("note", {"production TPU path": "the fused Pallas kernel runs per "
-              "shard under shard_map with ppermute halos and "
-              "ICI/compute overlap; validated in tests/test_kernel_"
-              "shard.py (interpret mode) and benchmarks/tpu_verify.py "
-              "ext-mode sections on hardware"})
+              "shard under shard_map; the serial sweep exchanges only "
+              "kernel-written edge strips (wrap_y pads y-unsharded, "
+              "separate-strip ppermute operands y-sharded - any-axis "
+              "decomposition at one speed), and overlap=True adds the "
+              "ICI/compute split for DCN-bound regimes; validated in "
+              "tests/test_kernel_shard.py (interpret mode) and "
+              "benchmarks/tpu_verify.py ext-mode sections on hardware"})
