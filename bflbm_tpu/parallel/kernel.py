@@ -642,8 +642,30 @@ def _make_advance(mesh: Mesh, params: LBMParams, block, tile, mode,
             )
             return sm, (px, py_ship), False
 
-        def local_sweep(f_loc, g_loc, words, step0, *maybe_ref):
-            r_loc = maybe_ref[0] if maybe_ref else None
+        # --- split sweep on the PADDED CARRY (round 5) ---------------
+        # The r4 split materialized FULL exchanged ext blocks
+        # (exchange_halo concat: ~2.8 GB/sweep of pure HBM copy at
+        # 256^3 — overlap_r5b.json pinned 8.26 of the 9.2 ms/step
+        # split penalty on exactly this), and the first compact-band
+        # rework still concatenated band-sized inputs (~0.5 GB/sweep).
+        # Now the split shares the serial sweep's padded-carry layout:
+        # pads refresh via thin ppermute strips + in-place DUS
+        # (_pad_exchange_{x,y}, x first so y strips carry the diagonal
+        # corners), the interior call reads a ZERO-COPY window of the
+        # padded state that touches no pad on a split axis — so XLA's
+        # scheduler runs the exchange collectives under it — and each
+        # band reads its own zero-copy window (win offsets only) and
+        # writes a compact output assembled with in-place
+        # dynamic_update_slice into the padded assembly buffer.
+        pXl, pYl = Xl + 2 * PX, Yl + 2 * _PY
+        wx0 = PX - px
+        Xi = Xl - 2 * px if sx else Xl
+        Yi = Yl - 2 * _PY if sy else Yl
+        xi0 = px if sx else 0
+        yi0 = _PY if sy else 0
+
+        def local_sweep_split(f_pad, g_pad, words, step0, *maybe_ref):
+            r_pad = maybe_ref[0] if maybe_ref else None
             ox0 = (jax.lax.axis_index("x") * Xl).astype(jnp.int32)
             oy0 = (jax.lax.axis_index("y") * Yl).astype(jnp.int32)
             base = jnp.concatenate([words, jnp.stack([step0])])
@@ -653,117 +675,36 @@ def _make_advance(mesh: Mesh, params: LBMParams, block, tile, mode,
                     [base, jnp.stack([ox0 + jnp.int32(dx),
                                       oy0 + jnp.int32(dy)])])
 
-            # --- split sweep: interior first in program order, seam
-            # bands after; only the bands read f_ext (the collectives'
-            # result), so the exchange overlaps the interior call. ---
-            Xi = Xl - 2 * px if sx else Xl
-            Yi = Yl - 2 * _PY if sy else Yl
-            xi0 = px if sx else 0
-            yi0 = _PY if sy else 0
-            # interior ext pads on non-split axes are LOCAL periodic
-            # wraps (those mesh axes have size 1 unless overlap="force",
-            # where a size-1 exchange is a local wrap too)
-            f_in, g_in, r_in = f_loc, g_loc, r_loc
-            if not sx:
-                f_in = halo_par.exchange_halo(f_in, "x", 1, px)
-                g_in = halo_par.exchange_halo(g_in, "x", 1, px)
-                if r_in is not None:
-                    r_in = halo_par.exchange_halo(r_in, "x", 1, px)
-            if not sy:
-                f_in = halo_par.exchange_halo(f_in, "y", 2, py_ship, _PY)
-                g_in = halo_par.exchange_halo(g_in, "y", 2, py_ship, _PY)
-                if r_in is not None:
-                    r_in = halo_par.exchange_halo(r_in, "y", 2, py_ship,
-                                                  _PY)
-            # split sub-calls always use the chooser: the caller's
-            # explicit `tile` is sized for the FULL local block and need
-            # not divide the shrunken interior (Xl - 2*px) or the seam
-            # bands — it applies to the serial sweep only.
-            # The interior declares the FULL local block as its output
-            # and writes only its window (pallas outputs are
-            # uninitialized, so the unwritten band cells are free);
-            # each seam band then writes its own window IN PLACE via
-            # input_output_aliases.  The r3 implementation concatenated
-            # five pieces instead, which materialized a full local
-            # read+write per sweep — measured +36% deterministic even
-            # after the band inputs stopped being sliced.
+            # pad refresh: only the bands consume pads on split axes
+            # (1-rank axes degenerate to the free local self-wrap)
+            f_pad = _pad_exchange_x(f_pad, PX, px, Xl, _PY, Yl)
+            g_pad = _pad_exchange_x(g_pad, PX, px, Xl, _PY, Yl)
+            f_pad = _pad_exchange_y(f_pad, _PY, py_ship, Yl,
+                                    fill_zeros=False)
+            g_pad = _pad_exchange_y(g_pad, _PY, py_ship, Yl,
+                                    fill_zeros=False)
+
+            # interior window: ext reads stay inside [0, Xl) x [0, Yl)
+            # on split axes (no dependence on the exchanges above)
             fo, go = call((Xi, Yi, Zl), pick((Xi, Yi, Zl)),
-                          seed_at(xi0, yi0), f_in, g_in, r_in,
-                          odomain=shape_loc, owin=(xi0, yi0))
+                          seed_at(xi0, yi0), f_pad, g_pad, r_pad,
+                          win=(wx0 + xi0, yi0),
+                          odomain=(pXl, pYl, Zl),
+                          owin=(PX + xi0, _PY + yi0))
 
-            # --- compact per-band ext inputs (round 5) ---------------
-            # The r4 split materialized FULL exchanged ext blocks
-            # (exchange_halo concat: ~2.8 GB/sweep of pure HBM copy at
-            # 256^3 — overlap_r5b.json pinned 8.26 of the 9.2 ms/step
-            # split penalty on exactly this; the true per-band marginal
-            # is 0.2-0.4 ms).  Each band now gets a band-sized ext
-            # input built from thin slices + ppermuted neighbor strips
-            # (local wrap on 1-rank axes), and writes a compact output
-            # assembled with in-place dynamic_update_slice.
-
-            def _ship(strip, axis_name, from_lower):
-                n = jax.lax.psum(1, axis_name)
-                if n == 1:
-                    return strip        # periodic self-wrap
-                perm = ([(i, (i + 1) % n) for i in range(n)] if from_lower
-                        else [(i, (i - 1) % n) for i in range(n)])
-                return jax.lax.ppermute(strip, axis_name, perm)
-
-            def _yext_wrap(a):
-                # y-unsharded x band: local periodic wrap pads
-                lo = jax.lax.slice_in_dim(a, Yl - _PY, Yl, axis=2)
-                hi = jax.lax.slice_in_dim(a, 0, _PY, axis=2)
-                return jnp.concatenate([lo, a, hi], axis=2)
-
-            def xband_in(a, x0):
-                """x-band ext input: x rows [x0-px, x0+px+px) (neighbor
-                strip on the split side), y rows [yi0-_PY, yi0+Yi+_PY)
-                — interior-only when sy (corners belong to the y
-                bands), local wrap pads when y is unsplit."""
-                ay = a if sy else _yext_wrap(a)
-                if x0 == 0:
-                    loc = jax.lax.slice_in_dim(ay, 0, 2 * px, axis=1)
-                    nb = _ship(jax.lax.slice_in_dim(ay, Xl - px, Xl,
-                                                    axis=1), "x", True)
-                    return jnp.concatenate([nb, loc], axis=1)
-                loc = jax.lax.slice_in_dim(ay, x0 - px, Xl, axis=1)
-                nb = _ship(jax.lax.slice_in_dim(ay, 0, px, axis=1),
-                           "x", False)
-                return jnp.concatenate([loc, nb], axis=1)
-
-            def yband_in(a, y0, wy):
-                """y-band ext input: y rows [y0-_PY, y0+wy+_PY) with the
-                y-neighbor strip, then x-extended (strips first, so the
-                x hop carries the DIAGONAL corners — the usual two-hop
-                order; 1-rank x degenerates to the local wrap)."""
-                if y0 == 0:
-                    loc = jax.lax.slice_in_dim(a, 0, wy + _PY, axis=2)
-                    nb = _ship(jax.lax.slice_in_dim(a, Yl - _PY, Yl,
-                                                    axis=2), "y", True)
-                    slab = jnp.concatenate([nb, loc], axis=2)
-                else:
-                    loc = jax.lax.slice_in_dim(a, y0 - _PY, Yl, axis=2)
-                    nb = _ship(jax.lax.slice_in_dim(a, 0, _PY, axis=2),
-                               "y", False)
-                    slab = jnp.concatenate([loc, nb], axis=2)
-                xlo = _ship(jax.lax.slice_in_dim(slab, Xl - px, Xl,
-                                                 axis=1), "x", True)
-                xhi = _ship(jax.lax.slice_in_dim(slab, 0, px, axis=1),
-                            "x", False)
-                return jnp.concatenate([xlo, slab, xhi], axis=1)
-
-            def band(fo, go, kind, x0, wx, y0, wy):
-                """Seam-band call on its compact ext input; output
-                [x0,x0+wx) x [y0,y0+wy) assembled in place (native DUS
-                — unlike pallas input_output_aliases it does not
+            def band(fo, go, x0, wx, y0, wy):
+                """Seam-band call: a zero-copy window of the padded
+                state (its ext area covers the freshly-exchanged pad
+                strips); compact output DUS-assembled in place (native
+                DUS — unlike pallas input_output_aliases it does not
                 trigger defensive copies here)."""
-                mk = (lambda a: xband_in(a, x0)) if kind == "x" else \
-                    (lambda a: yband_in(a, y0, wy))
-                rb = mk(r_loc) if r_loc is not None else None
                 fb, gb = call((wx, wy, Zl), pick_band((wx, wy, Zl)),
-                              seed_at(x0, y0), mk(f_loc), mk(g_loc), rb)
-                fo = jax.lax.dynamic_update_slice(fo, fb, (0, x0, y0, 0))
-                go = jax.lax.dynamic_update_slice(go, gb, (0, x0, y0, 0))
+                              seed_at(x0, y0), f_pad, g_pad, r_pad,
+                              win=(wx0 + x0, y0))
+                fo = jax.lax.dynamic_update_slice(
+                    fo, fb, (0, PX + x0, _PY + y0, 0))
+                go = jax.lax.dynamic_update_slice(
+                    go, gb, (0, PX + x0, _PY + y0, 0))
                 return fo, go
 
             # partition: y bands span the FULL x width (wx=Xl tiles
@@ -771,11 +712,9 @@ def _make_advance(mesh: Mesh, params: LBMParams, block, tile, mode,
             # x bands cover only the middle rows [yi0, yi0+Yi)
             bands = []
             if sx:
-                bands += [("x", 0, px, yi0, Yi),
-                          ("x", Xl - px, px, yi0, Yi)]
+                bands += [(0, px, yi0, Yi), (Xl - px, px, yi0, Yi)]
             if sy:
-                bands += [("y", 0, Xl, 0, _PY),
-                          ("y", 0, Xl, Yl - _PY, _PY)]
+                bands += [(0, Xl, 0, _PY), (0, Xl, Yl - _PY, _PY)]
             if SPLIT_DEBUG is not None:
                 bands = bands[:int(SPLIT_DEBUG)]
             for b in bands:
@@ -785,13 +724,13 @@ def _make_advance(mesh: Mesh, params: LBMParams, block, tile, mode,
         # check_vma=False: pallas_call outputs carry no varying-mesh-axes
         # annotation, which the checker would otherwise reject
         sm = shard_map(
-            local_sweep, mesh=mesh,
+            local_sweep_split, mesh=mesh,
             in_specs=(pspec, pspec, P(), P())
             + ((pspec,) if use_ref else ()),
             out_specs=(pspec, pspec),
             check_vma=False,
         )
-        return sm, None, False
+        return sm, (px, py_ship), False
 
     def advance(state: SimState, ref2, n_k: int) -> SimState:
         if resident:
